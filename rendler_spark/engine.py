@@ -1,0 +1,426 @@
+"""The crawl engine: RENDLER's scheduler loop as Spark batch-wave iteration.
+
+Reference lifecycle [upstream: python/rendler.py ~L95-300]: a Mesos
+scheduler pops URLs off crawl/render deques, launches one-URL executor
+tasks, and folds (url, links[]) / (url, imageUrl) framework messages back
+into in-memory state.  Here each *wave* is one batch iteration over
+DataFrames (BASELINE.json:L6 "Each crawl wave is a batch iteration"):
+
+    frontier(w)                                         [parquet, wave=w]
+      ├─ broadcast-join robots → crawl_delay budgets    (B3, C5)
+      ├─ salted two-phase per-host top-K window         (E1-E3) — 1 shuffle
+      │     fetch set ─────────────┐   deferred rows → frontier(w+1)
+      ├─ mapInPandas fetch+render UDF (Arrow batches)   (A2, H3, H4)
+      │     → images rows (input_hint schema) + packed links
+      ├─ posexplode links → canonicalize pandas UDF     (H1, H2)
+      │     → edges(w)
+      ├─ first-wins dedup (min(depth,seq) per URL)      (D3) — 1 shuffle
+      ├─ Bloom-shard prefilter → exact left-anti join   (C1, C2, D6)
+      ├─ robots gate → seen additions (blocked flagged) (B3)
+      └─ commit wave manifest: images/edges/seen/frontier(w+1)/metrics
+
+The per-wave commit (Warehouse manifests) replaces the scheduler's
+frameworkMessage folding as the single synchronization point and gives
+exact resume (A6 — absent in the reference, demanded by BASELINE.json:L14).
+
+Scale notes (designed for 10^10-URL frontiers, tested on local[32]):
+* frontier/seen/edges/images are wave-partitioned parquet — every wave's
+  state is re-read from disk, so plan lineage never grows across waves and
+  partition pruning confines reads to the waves named.
+* the two per-wave shuffles (host-salt window; url_hash dedup/anti-join)
+  are the only wide stages; the Bloom prefilter routes the overwhelmingly-
+  new candidate mass AROUND the anti-join (SURVEY.md §4.1).
+* `bloom_mode="broadcast"` ships shard bits to every executor (right while
+  total bits << executor memory); `"copartition"` cogroups candidates with
+  the shard-bits table on `shard` so each task holds exactly one shard —
+  the shuffle-hash-join-by-hash-prefix path from BASELINE.json:L6.
+* image bytes never touch the driver; Arrow batch size is capped by the
+  session conf (see rendler_spark.session.get_spark).
+"""
+
+from __future__ import annotations
+
+import math
+import shutil
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
+
+from rendler_spark import codecs, synthweb, urlnorm
+from rendler_spark.crawl_semantics import N_SHARDS, SEQ_BASE
+from rendler_spark.functions import links as linkfns
+from rendler_spark.operators import bloom as bloomops
+from rendler_spark.operators.politeness import budget_flagged
+from rendler_spark.operators.robots import (
+    effective_budget_col, robots_df, with_robots,
+)
+from rendler_spark.sources.tables import Warehouse
+
+HOST_RE = r"^https?://([^/?#]*)"
+FRONTIER_COLS = ("url", "host", "depth", "seq")
+PAGE_SCHEMA = (
+    "url string, host string, depth int, seq bigint, links string, "
+    "bytes binary, w int, h int, fmt string, caption string, phash bigint"
+)
+
+
+# --------------------------------------------------------------- UDFs
+
+
+from pyspark.sql.types import BooleanType, StringType  # noqa: E402
+
+
+@F.pandas_udf(StringType())
+def canon_udf(base: pd.Series, href: pd.Series) -> pd.Series:
+    """H2: vectorized URL resolve+canonicalize (urlnorm)."""
+    return urlnorm.canonicalize(base, href)
+
+
+def make_fetch_render(cfg: synthweb.WebConfig):
+    """A2+H3+H4 fused: fetch page, extract links, render image, caption,
+    phash — one Arrow-batched mapInPandas stage; the html string never
+    leaves the Python worker."""
+
+    def fetch_render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            hi, pj, _ = synthweb.parse_url(pdf["url"])
+            html = synthweb.page_html(cfg, hi, pj)
+            links = linkfns.extract_links(html)
+            caption = synthweb.page_caption(cfg, hi, pj)
+            w, h, fidx = synthweb.image_params(cfg, hi, pj)
+            fmts = [codecs.FORMATS[int(i)] for i in fidx]
+            blobs, phashes = [], []
+            for k in range(len(pdf)):  # per-row loop; per-call work is a
+                px = synthweb.render_pixels(cfg, int(hi[k]), int(pj[k]))
+                blobs.append(codecs.encode(px, fmts[k]))  # vectorized numpy
+                phashes.append(codecs.phash(px))          # kernel per image
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"].to_numpy(),
+                    "host": pdf["host"].to_numpy(),
+                    "depth": pdf["depth"].to_numpy(),
+                    "seq": pdf["seq"].to_numpy(),
+                    "links": links.to_numpy(),
+                    "bytes": blobs,
+                    "w": w, "h": h,
+                    "fmt": fmts,
+                    "caption": caption.to_numpy(),
+                    "phash": np.array(phashes, dtype=np.int64),
+                }
+            )
+
+    return fetch_render
+
+
+def make_bloom_builder(m_bits: int, k: int):
+    """D6: grouped-map that folds one shard's url_hashes into Bloom bits."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        bits = bloomops.build_bits(pdf["url_hash"].to_numpy(np.int64), m_bits, k)
+        return pd.DataFrame({"shard": [shard], "bits": [bits.tobytes()]})
+
+    return build
+
+
+def first_wins(df: DataFrame) -> DataFrame:
+    """D3: deterministic first-discovery dedup — min (depth, seq) per URL
+    (crawl_semantics rule 4); host rides along (constant per URL)."""
+    return (
+        df.groupBy("url")
+        .agg(F.min(F.struct("depth", "seq", "host")).alias("m"))
+        .select(
+            "url",
+            F.col("m.host").alias("host"),
+            F.col("m.depth").alias("depth"),
+            F.col("m.seq").alias("seq"),
+        )
+    )
+
+
+# --------------------------------------------------------------- engine
+
+
+class CrawlEngine:
+    """Distributed URL frontier + fetch scheduler (north_rule)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: synthweb.WebConfig,
+        warehouse: str,
+        *,
+        budget: int | None = None,
+        n_salt: int = 8,
+        n_shards: int = N_SHARDS,
+        bloom_bits: int = 1 << 16,
+        bloom_k: int = 6,
+        bloom_mode: str = "broadcast",  # or "copartition" / "off"
+        n_partitions: int | None = None,
+        rows_per_fetch_task: int = 64,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.wh = Warehouse(warehouse)
+        self.budget = cfg.budget if budget is None else budget
+        self.n_salt = n_salt
+        self.n_shards = n_shards
+        self.bloom_bits = bloom_bits
+        self.bloom_k = bloom_k
+        self.bloom_mode = bloom_mode
+        self.n_partitions = n_partitions or spark.sparkContext.defaultParallelism
+        self.rows_per_fetch_task = rows_per_fetch_task
+        self.robots = robots_df(spark, cfg)
+        self._shard_bits: dict[int, np.ndarray] = {}
+        self._bc = None
+
+    # ----------------------------------------------------- bloom state
+
+    def _update_bloom(self, additions: DataFrame) -> None:
+        if self.bloom_mode == "off":
+            return
+        rows = (
+            additions.select("shard", "url_hash")
+            .groupBy("shard")
+            .applyInPandas(
+                make_bloom_builder(self.bloom_bits, self.bloom_k),
+                "shard int, bits binary",
+            )
+            .collect()
+        )
+        for r in rows:
+            cur = np.frombuffer(r["bits"], dtype=np.uint8)
+            prev = self._shard_bits.get(int(r["shard"]))
+            self._shard_bits[int(r["shard"])] = cur if prev is None else prev | cur
+        if self._bc is not None:
+            self._bc.destroy()
+        self._bc = self.spark.sparkContext.broadcast(
+            {s: b.tobytes() for s, b in self._shard_bits.items()}
+        )
+
+    def _maybe_seen_udf(self):
+        bc, k, ns = self._bc, self.bloom_k, self.n_shards
+
+        @F.pandas_udf(BooleanType())
+        def maybe_seen(h: pd.Series) -> pd.Series:
+            return pd.Series(
+                bloomops.contains_sharded(bc.value, h.to_numpy(np.int64), ns, k)
+            )
+
+        return maybe_seen
+
+    # ----------------------------------------------------- admission
+
+    def _admit(
+        self, candidates: DataFrame, seen: DataFrame | None
+    ) -> tuple[DataFrame, DataFrame]:
+        """Dedup candidates against the seen set (C1/C2), gate by robots
+        (B3); returns (seen_additions, frontier_additions).
+
+        candidates: (url, host, depth, seq), already first-wins-deduped.
+        """
+        cand = candidates.withColumn("url_hash", F.xxhash64("url")).withColumn(
+            "shard", F.pmod("url_hash", F.lit(self.n_shards)).cast("int")
+        )
+        if seen is not None:
+            seen_keys = seen.select("url_hash", "url")
+            if self.bloom_mode != "off" and self._bc is not None:
+                cand = cand.withColumn("_maybe", self._maybe_seen_udf()(F.col("url_hash")))
+                sure_new = cand.filter(~F.col("_maybe")).drop("_maybe")
+                need_check = cand.filter(F.col("_maybe")).drop("_maybe")
+                # exact anti-join is authoritative; bloom only shrinks it
+                checked = need_check.join(
+                    seen_keys.hint("shuffle_hash"), ["url_hash", "url"], "left_anti"
+                )
+                new = sure_new.unionByName(checked)
+            else:
+                new = cand.join(seen_keys, ["url_hash", "url"], "left_anti")
+        else:
+            new = cand
+        gated = with_robots(new, self.robots)
+        seen_add = gated.select(
+            "url_hash", "url", "host", "depth", "seq", "shard", "blocked"
+        )
+        frontier_add = gated.filter(~F.col("blocked")).select(*FRONTIER_COLS)
+        return seen_add, frontier_add
+
+    # ----------------------------------------------------- lifecycle
+
+    def init(self, fresh: bool = True) -> None:
+        """Version 0: admit the seed list (A1) — seeds are canonicalized,
+        first-wins-deduped, robots-gated exactly like discoveries."""
+        if fresh and self.wh.root.exists():
+            shutil.rmtree(self.wh.root)
+            self.wh = Warehouse(self.wh.root)
+        raw = synthweb.seeds(self.cfg)
+        canon = [urlnorm.canonicalize_one(u, u) for u in raw]
+        pdf = pd.DataFrame(
+            {"url": canon, "seq": np.arange(len(canon), dtype=np.int64)}
+        )
+        df = (
+            self.spark.createDataFrame(pdf)
+            .withColumn("depth", F.lit(0).cast("int"))
+            .withColumn("seq", F.col("seq").cast("long"))
+            .withColumn("host", F.regexp_extract("url", HOST_RE, 1))
+            .filter(F.col("url").rlike("^https?://"))
+        )
+        seen_add, frontier_add = self._admit(first_wins(df), None)
+        self.wh.overwrite_partition("seen", 0, seen_add)
+        self.wh.overwrite_partition("frontier", 0, frontier_add)
+        self._update_bloom(self.wh.read(self.spark, "seen", wave=0))
+        n = self.wh.read(self.spark, "frontier", wave=0).count()
+        self.wh.commit(0, {"kind": "init", "n_seeds": len(canon), "n_frontier": n})
+
+    def run_wave(self, w: int) -> dict | None:
+        """One batch iteration; returns wave stats or None if the frontier
+        is exhausted.  Idempotent: re-running an uncommitted wave
+        overwrites its partition dirs (Warehouse contract)."""
+        t0 = time.monotonic()
+        spark = self.spark
+
+        frontier = (
+            self.wh.read(spark, "frontier", wave=w)
+            .drop("wave")
+            .join(F.broadcast(self.robots.select("host", "crawl_delay")), "host", "left")
+            .withColumn("eff_budget", effective_budget_col(self.budget))
+        )
+        flagged = budget_flagged(frontier, n_salt=self.n_salt).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        n_frontier = flagged.count()
+        if n_frontier == 0:
+            flagged.unpersist()
+            return None
+        fetch = flagged.filter(F.col("_fetch")).select(*FRONTIER_COLS)
+        deferred = flagged.filter(~F.col("_fetch")).select(*FRONTIER_COLS)
+        n_fetched = fetch.count()
+
+        # ---- fetch + render (Arrow UDF stage)
+        nparts = max(
+            1,
+            min(self.n_partitions, math.ceil(n_fetched / self.rows_per_fetch_task)),
+        )
+        pages = (
+            fetch.repartition(nparts)
+            .mapInPandas(make_fetch_render(self.cfg), PAGE_SCHEMA)
+            .withColumn("part_id", F.spark_partition_id())
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+        images = pages.select(
+            F.col("url").alias("image_id"), "bytes", "w", "h", "fmt", "caption", "phash"
+        )
+        self.wh.overwrite_partition("images", w, images)
+        self.wh.overwrite_partition(
+            "fetch_log", w, pages.select("url", "host", "depth", "seq", "part_id")
+        )
+
+        # ---- link extraction -> edges (A4) + discovery candidates
+        resolved = (
+            pages.select(
+                "url",
+                "depth",
+                "seq",
+                F.posexplode(F.split(F.col("links"), linkfns.SEP)).alias("pos", "href"),
+            )
+            .filter(F.col("href") != "")
+            .withColumn("dst", canon_udf(F.col("url"), F.col("href")))
+            .filter(F.col("dst").rlike("^https?://"))
+        )
+        edges = resolved.select(F.col("url").alias("src"), "dst")
+        self.wh.overwrite_partition("edges", w, edges)
+
+        cand = first_wins(
+            resolved.select(
+                F.col("dst").alias("url"),
+                F.regexp_extract("dst", HOST_RE, 1).alias("host"),
+                (F.col("depth") + 1).cast("int").alias("depth"),
+                (F.col("seq") * SEQ_BASE + F.col("pos")).cast("long").alias("seq"),
+            )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        n_candidates = cand.count()
+
+        seen = self.wh.read(spark, "seen", upto=w)
+        seen_add, frontier_add = self._admit(cand, seen)
+        self.wh.overwrite_partition("seen", w + 1, seen_add)
+
+        added = self.wh.read(spark, "seen", wave=w + 1)
+        n_new = added.count()
+        n_blocked = added.filter(F.col("blocked")).count()
+
+        nxt = deferred.unionByName(frontier_add)
+        self.wh.overwrite_partition("frontier", w + 1, nxt)
+        self._update_bloom(added)
+
+        n_links = resolved.count()
+        n_deferred = n_frontier - n_fetched
+        part_counts = {
+            str(r["part_id"]): r["count"]
+            for r in self.wh.read(spark, "fetch_log", wave=w)
+            .groupBy("part_id")
+            .count()
+            .collect()
+        }
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        stats = {
+            "wave": w,
+            "n_frontier": n_frontier,
+            "n_fetched": n_fetched,
+            "n_deferred": n_deferred,
+            "n_links": n_links,
+            "n_candidates": n_candidates,
+            "n_dup_seen": n_candidates - n_new,
+            "n_new": n_new,
+            "n_robots_blocked": n_blocked,
+            "wall_ms": wall_ms,
+            "partitions": part_counts,
+        }
+        metrics_pdf = pd.DataFrame(
+            [{k: v for k, v in stats.items() if k != "partitions"}]
+        )
+        self.wh.overwrite_partition(
+            "wave_metrics", w, spark.createDataFrame(metrics_pdf)
+        )
+        self.wh.commit(w + 1, {"kind": "wave", **stats})
+
+        flagged.unpersist()
+        pages.unpersist()
+        cand.unpersist()
+        return stats
+
+    def run(self, max_waves: int, fresh: bool = True) -> list[dict]:
+        self.init(fresh=fresh)
+        return self.run_waves(0, max_waves)
+
+    def run_waves(self, start: int, max_waves: int) -> list[dict]:
+        out = []
+        for w in range(start, max_waves):
+            s = self.run_wave(w)
+            if s is None:
+                break
+            out.append(s)
+        return out
+
+    @classmethod
+    def resume(
+        cls,
+        spark: SparkSession,
+        cfg: synthweb.WebConfig,
+        warehouse: str,
+        max_waves: int,
+        **kw,
+    ) -> list[dict]:
+        """A6: exact resume — restart from the last committed manifest;
+        the Bloom state is rebuilt distributed from the seen table."""
+        eng = cls(spark, cfg, warehouse, **kw)
+        v = eng.wh.last_version()
+        if v is None:
+            raise RuntimeError("nothing to resume: no committed manifest")
+        eng._update_bloom(eng.wh.read(spark, "seen", upto=v))
+        return eng.run_waves(v, max_waves)

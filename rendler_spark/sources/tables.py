@@ -1,0 +1,116 @@
+"""Iceberg-shaped warehouse: partitioned Parquet + JSON snapshot manifests.
+
+The reference persisted nothing but image files and a final ``.dot`` text
+[upstream: python/render_executor.py ~L70; python/export_dot.py]; a scheduler
+crash lost the whole crawl.  The north rule demands Iceberg tables with
+"checkpointed per-partition lineage + fetch/dedup metrics for exact resume"
+(BASELINE.json:L6,L14).  No ``iceberg-spark-runtime`` jar exists in this
+sandbox and there is no network to fetch one (SURVEY.md §0.4), so this
+module implements the Iceberg *shape* over plain Parquet:
+
+* every table is a directory of explicit partition dirs ``wave=N/``
+  (Hive-style, so Spark partition-prunes wave reads — at 10^10 scale a
+  wave's anti-join only touches the partitions it names);
+* every committed state transition writes a JSON manifest
+  ``_manifests/v{N}.json`` via write-temp + atomic rename; a partition dir
+  without a covering manifest is garbage and is overwritten on re-run —
+  that makes wave re-execution idempotent and resume exact;
+* manifests carry per-partition row counts + wave metrics (the lineage
+  record the north rule asks for).
+
+Swapping in real Iceberg later = replacing this module's read/append with
+``spark.table`` / ``writeTo(...).append()`` — the engine only talks to
+``Warehouse``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Warehouse:
+    def __init__(self, root: str | os.PathLike):
+        self.root = Path(root)
+        (self.root / "_manifests").mkdir(parents=True, exist_ok=True)
+
+    # ----------------------------------------------------------- paths
+
+    def table_dir(self, table: str) -> Path:
+        return self.root / table
+
+    def part_dir(self, table: str, wave: int) -> Path:
+        return self.root / table / f"wave={wave}"
+
+    # ----------------------------------------------------------- write
+
+    def overwrite_partition(self, table: str, wave: int, df: DataFrame) -> None:
+        """(Re)write one wave partition of a table.  Any pre-existing dir is
+        removed first so re-running an uncommitted wave is idempotent."""
+        path = self.part_dir(table, wave)
+        if path.exists():
+            shutil.rmtree(path)
+        df.write.mode("overwrite").parquet(str(path))
+
+    # ----------------------------------------------------------- read
+
+    def exists(self, table: str, wave: int | None = None) -> bool:
+        p = self.part_dir(table, wave) if wave is not None else self.table_dir(table)
+        return p.exists()
+
+    def read(
+        self,
+        spark: SparkSession,
+        table: str,
+        wave: int | None = None,
+        upto: int | None = None,
+    ) -> DataFrame:
+        """Read a table; ``wave=`` one partition, ``upto=`` partitions
+        0..upto (explicit dir list -> partition pruning by construction).
+        The Hive-style dir names surface ``wave`` as a partition column."""
+        base = self.table_dir(table)
+        if wave is not None:
+            dirs = [self.part_dir(table, wave)]
+        elif upto is not None:
+            dirs = [self.part_dir(table, w) for w in range(upto + 1)]
+            dirs = [d for d in dirs if d.exists()]
+        else:
+            dirs = sorted(
+                d for d in base.iterdir() if d.is_dir() and d.name.startswith("wave=")
+            )
+        reader = spark.read.option("basePath", str(base))
+        return reader.parquet(*[str(d) for d in dirs])
+
+    # ----------------------------------------------------------- manifests
+
+    def _manifest_path(self, version: int) -> Path:
+        return self.root / "_manifests" / f"v{version:06d}.json"
+
+    def commit(self, version: int, info: dict) -> None:
+        """Atomically publish state version N (temp file + rename)."""
+        path = self._manifest_path(version)
+        fd, tmp = tempfile.mkstemp(dir=path.parent, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"version": version, **info}, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+
+    def last_version(self) -> int | None:
+        versions = sorted(
+            int(p.stem[1:]) for p in (self.root / "_manifests").glob("v*.json")
+        )
+        return versions[-1] if versions else None
+
+    def manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def all_manifests(self) -> list[dict]:
+        last = self.last_version()
+        if last is None:
+            return []
+        return [self.manifest(v) for v in range(last + 1)]

@@ -1,0 +1,109 @@
+"""M2/M3 equivalence gates (SURVEY.md §5.2.2, BASELINE.json:L6):
+
+engine (distributed waves) vs oracle (sequential reference loop) on the
+same synthetic web:
+
+  * identical per-host BFS fetch order
+  * identical final URL-seen set
+  * identical edge multiset
+  * per-row image equality: decoded-pixel allclose (byte-identical for
+    lossless; PSNR>=40dB vs source pixels for qlossy) + caption equality
+"""
+
+import numpy as np
+import pytest
+
+from oracle_rendler import run_oracle
+from rendler_spark import codecs, synthweb
+from rendler_spark.engine import CrawlEngine
+
+CFG = synthweb.WebConfig()  # t1 smoke tier (FIXTURES.md §1)
+WAVES = 3
+
+
+@pytest.fixture(scope="module")
+def run(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh") / "t1")
+    eng = CrawlEngine(spark, CFG, wh)
+    stats = eng.run(WAVES)
+    oracle = run_oracle(CFG, WAVES)
+    return eng, stats, oracle
+
+
+def test_fetch_order_exact(run, spark):
+    eng, _, oracle = run
+    rows = eng.wh.read(spark, "fetch_log").collect()
+    got = sorted((r["wave"], r["host"], r["depth"], r["seq"], r["url"]) for r in rows)
+    assert got == sorted(oracle.fetch_order)
+
+
+def test_seen_set_identical(run, spark):
+    eng, _, oracle = run
+    got = {r["url"] for r in eng.wh.read(spark, "seen").select("url").collect()}
+    assert got == oracle.seen
+
+
+def test_blocked_set_identical(run, spark):
+    eng, _, oracle = run
+    got = {
+        r["url"]
+        for r in eng.wh.read(spark, "seen").filter("blocked").select("url").collect()
+    }
+    assert got == oracle.blocked
+
+
+def test_edges_multiset_identical(run, spark):
+    eng, _, oracle = run
+    got = sorted(
+        (r["src"], r["dst"], r["wave"]) for r in eng.wh.read(spark, "edges").collect()
+    )
+    assert got == sorted(oracle.edges)
+
+
+def test_images_per_row_fidelity(run, spark):
+    eng, _, oracle = run
+    rows = eng.wh.read(spark, "images").collect()
+    assert len(rows) == len(oracle.images)
+    for r in rows:
+        ob, ow, oh, ofmt, oph, ocap = oracle.images[r["image_id"]]
+        assert (bytes(r["bytes"]), r["w"], r["h"], r["fmt"], r["phash"]) == (
+            ob, ow, oh, ofmt, oph,
+        )
+        assert r["caption"] == ocap
+        # decoded-pixel gate vs the SOURCE pixels (BASELINE.json:L15)
+        hi, pj, _ = synthweb.parse_url(__import__("pandas").Series([r["image_id"]]))
+        src = synthweb.render_pixels(CFG, int(hi[0]), int(pj[0]))
+        dec = codecs.decode(bytes(r["bytes"]), r["fmt"])
+        if r["fmt"] == "qlossy":
+            assert codecs.psnr(src, dec) >= 40.0
+        else:
+            assert np.array_equal(src, dec)
+
+
+def test_metrics_and_manifests(run, spark):
+    eng, stats, oracle = run
+    assert [s["n_fetched"] for s in stats] == [m["n_fetched"] for m in oracle.metrics]
+    assert [s["n_robots_blocked"] for s in stats] == [
+        m["n_robots_blocked"] for m in oracle.metrics
+    ]
+    # manifests: version 0 (init) + one per wave, with per-partition lineage
+    assert eng.wh.last_version() == len(stats)
+    for v in range(1, len(stats) + 1):
+        man = eng.wh.manifest(v)
+        assert man["kind"] == "wave" and "partitions" in man
+        assert sum(man["partitions"].values()) == man["n_fetched"]
+
+
+def test_bloom_modes_agree(spark, tmp_path):
+    """bloom=off (pure anti-join) and bloom=broadcast produce identical
+    frontiers/seen — the prefilter is invisible to semantics."""
+    a = CrawlEngine(spark, CFG, str(tmp_path / "a"), bloom_mode="off")
+    a.run(2)
+    b = CrawlEngine(spark, CFG, str(tmp_path / "b"), bloom_mode="broadcast")
+    b.run(2)
+    sa = {r["url"] for r in a.wh.read(spark, "seen").select("url").collect()}
+    sb = {r["url"] for r in b.wh.read(spark, "seen").select("url").collect()}
+    assert sa == sb
+    fa = sorted(r["url"] for r in a.wh.read(spark, "frontier", wave=2).collect())
+    fb = sorted(r["url"] for r in b.wh.read(spark, "frontier", wave=2).collect())
+    assert fa == fb
