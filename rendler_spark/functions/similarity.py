@@ -1,0 +1,203 @@
+"""Similarity / near-dup operators for training-data pipelines.
+
+These extend the engine beyond the reference's operator set (a crawl feeding
+an image+caption corpus needs dedup before training); they follow the same
+vectorization discipline as the crawl UDFs: per-document Python loops carry
+only O(1) interpreted work, all token/shingle math is numpy.
+
+Operators:
+* ``minhash_signatures``  — word-shingle MinHash signatures (mapInPandas)
+* ``lsh_candidate_pairs`` — banded LSH bucketing -> candidate pairs ->
+                            exact Jaccard verification (the scale path: the
+                            O(n^2) comparison only happens inside buckets)
+* ``simhash``             — 64-bit SimHash over tokens
+* ``cosine_topk``         — brute-force cosine top-k against a query vector
+                            (JVM higher-order functions, no Python)
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from rendler_spark.hashing import mix, splitmix64, to_i64
+
+
+# ------------------------------------------------------------ shingles
+
+
+def _token_hashes(toks: list[str]) -> np.ndarray:
+    """Deterministic uint64 token hashes (pandas hash_array, fixed key —
+    NOT Python hash(), which is process-salted)."""
+    return pd.util.hash_array(np.asarray(toks or [""], dtype=object)).astype(np.uint64)
+
+
+def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Hashes of word n-grams (shingles) of one document — numpy inner."""
+    th = _token_hashes(text.split())
+    if len(th) < n:
+        th = np.concatenate([th, np.zeros(n - len(th), dtype=np.uint64)])
+    win = np.lib.stride_tricks.sliding_window_view(th, n)
+    h = np.zeros(len(win), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for col in range(n):
+            h = splitmix64(h ^ (win[:, col] + np.uint64(col + 1)))
+    return np.unique(h)
+
+
+def minhash_signature(shingles: np.ndarray, k: int = 64, seed: int = 42) -> np.ndarray:
+    """K-permutation MinHash via seeded splitmix rehash, vectorized (K x n)."""
+    if len(shingles) == 0:
+        return np.zeros(k, dtype=np.int64)
+    seeds = mix(seed, np.arange(k))  # (k,)
+    with np.errstate(over="ignore"):
+        m = splitmix64(shingles[None, :] ^ seeds[:, None])  # (k, n)
+    return to_i64(m.min(axis=1))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 64, seed: int = 42
+) -> DataFrame:
+    """(id, sig array<long>) per document."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = [
+                minhash_signature(_shingle_hashes(t), k, seed).tolist()
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({"id": pdf[id_col], "sig": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(gen, "id long, sig array<long>")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded LSH: docs sharing any band-hash bucket become candidate pairs.
+
+    Scale shape: explode to (band, band_hash) keys -> self-join per bucket
+    (shuffle on the bucket key, never all-pairs), distinct pairs out.
+    """
+    assert bands * rows_per_band <= 64  # default signature length
+    b = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(i), F.slice("sig", i * rows_per_band + 1, rows_per_band)
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    left = b.alias("l")
+    right = b.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(sigs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Estimated Jaccard = fraction of agreeing signature positions."""
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    eq = F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard_est",
+            F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / F.size("sig_a"),
+        )
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+def near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    k: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """End-to-end MinHash+LSH near-dup: (id_a, id_b, jaccard_est >= thr)."""
+    sigs = minhash_signatures(df, id_col, text_col, k=k)
+    pairs = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=k // bands)
+    est = minhash_jaccard_estimate(sigs, pairs)
+    return est.filter(F.col("jaccard_est") >= threshold)
+
+
+# ------------------------------------------------------------ simhash
+
+
+def simhash_batch(texts: pd.Series, seed: int = 42) -> np.ndarray:
+    """64-bit SimHash per document (sign of per-bit weighted token sums)."""
+    out = np.empty(len(texts), dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        h = splitmix64(_token_hashes(t.split() if t else [""]) ^ np.uint64(seed))
+        bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = (2 * bits - 1).sum(axis=0)
+        val = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for b in range(64):
+                val = (val << np.uint64(1)) | np.uint64(1 if acc[63 - b] > 0 else 0)
+        out[i] = int(val.view(np.int64))
+    return out
+
+
+def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "simhash": simhash_batch(pdf[text_col])}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(gen, "id long, simhash long")
+
+
+# ------------------------------------------------------------ cosine
+
+
+def cosine_to_query(df: DataFrame, vec_col: str, qvec: list[float]) -> F.Column:
+    """Cosine similarity column vs a constant query vector — pure JVM
+    higher-order functions (zip_with + aggregate), no Python in the path."""
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    prod = F.zip_with(F.col(vec_col), q, lambda a, b: a.cast("double") * b)
+    dot = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qn = float(np.sqrt(np.sum(np.asarray(qvec, dtype=np.float64) ** 2)))
+    return dot / (F.sqrt(sq(F.col(vec_col))) * F.lit(qn))
+
+
+def cosine_topk(
+    df: DataFrame, id_col: str, vec_col: str, qvec: list[float], k: int = 10
+) -> DataFrame:
+    """Brute-force ANN baseline: exact top-k by cosine (TakeOrderedAndProject
+    — no full sort).  The IVF/LSH-bucketed variant reuses lsh bucketing on
+    sign-random-projection hashes; brute force is the exactness baseline."""
+    return (
+        df.withColumn("cos", cosine_to_query(df, vec_col, qvec))
+        .select(F.col(id_col), F.round("cos", 4).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )

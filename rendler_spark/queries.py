@@ -1,0 +1,849 @@
+"""Driver-contract query registry (SURVEY.md §2 "Driver check" column).
+
+Every SQL-expressible operator the engine relies on gets a pair here:
+a PySpark DataFrame implementation and a DuckDB-compatible ANSI-SQL oracle
+over the same parquet tables; the driver runs both at sf=0.01 and compares
+row-count + schema + order-insensitive value hash.  Rules followed
+throughout (the compare is exact-valued):
+
+* every computed column is aliased IDENTICALLY in both versions;
+* floating aggregates are rounded the same on both sides;
+* DuckDB sums of integers are cast back to BIGINT (they widen to HUGEINT);
+* embedding math casts FLOAT -> DOUBLE on both sides before accumulating.
+
+Non-SQL-expressible operators (minhash/simhash/session_window native) are
+registered without oracle SQL -> the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from rendler_spark.functions import similarity
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# ======================================================= scans / filters
+
+@q("q_scan_parquet", "SELECT count(*) AS n FROM lineitem")
+def q_scan_parquet(spark, sf):
+    """A1/B-scan: full-scan count; Catalyst answers from footer stats."""
+    return t(spark, sf, "lineitem").agg(F.count("*").alias("n"))
+
+
+@q(
+    "q_filter",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity < 10""",
+)
+def q_filter(spark, sf):
+    """B1: predicate pushdown — both range + numeric filters reach the scan."""
+    li = t(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_quantity") < 10)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+
+
+@q(
+    "q_project",
+    """SELECT l_orderkey, l_linenumber,
+              CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                   * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       FROM lineitem""",
+)
+def q_project(spark, sf):
+    """B2: projection + expression; column pruning to 4 columns.
+
+    Money math goes through DECIMAL (the source doubles carry <=2 fractional
+    digits, so the cast is exact): Spark's round()/double->decimal rounds
+    the shortest decimal STRING (HALF_UP) while DuckDB rounds the binary
+    value — products of cent-values land exactly on .xx5 and diverge.
+    Exact decimal arithmetic sidesteps the whole class."""
+    return t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@q(
+    "q_like_filter",
+    """SELECT p_partkey, p_name FROM part
+       WHERE p_name LIKE '%gear%' AND p_type LIKE 'ECO%'""",
+)
+def q_like_filter(spark, sf):
+    """B3 analogue: string prefix/contains predicates (robots gating shape)."""
+    p = t(spark, sf, "part")
+    return p.filter(
+        F.col("p_name").contains("gear") & F.col("p_type").startswith("ECO")
+    ).select("p_partkey", "p_name")
+
+
+@q(
+    "q_limit",
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 10",
+)
+def q_limit(spark, sf):
+    """B4: deterministic LIMIT (ordered -> TakeOrderedAndProject)."""
+    return (
+        t(spark, sf, "orders")
+        .orderBy("o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# ======================================================= joins
+
+@q(
+    "q_inner_join",
+    """SELECT o.o_orderkey, o.o_totalprice, c.c_name
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE o.o_totalprice > 450000""",
+)
+def q_inner_join(spark, sf):
+    """C3: render-result lookup analogue (equi inner join)."""
+    o = t(spark, sf, "orders").filter(F.col("o_totalprice") > 450000)
+    c = t(spark, sf, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name"
+    )
+
+
+@q(
+    "q_broadcast_join",
+    """SELECT n.n_name, r.r_name FROM nation n
+       JOIN region r ON n.n_regionkey = r.r_regionkey""",
+)
+def q_broadcast_join(spark, sf):
+    """C2/C5: small-dim broadcast (robots/bloom-shard join shape)."""
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_name", "r_name"
+    )
+
+
+@q(
+    "q_shuffle_join",
+    """SELECT o.o_orderpriority, count(*) AS n
+       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       GROUP BY o.o_orderpriority""",
+)
+def q_shuffle_join(spark, sf):
+    """C2: big-big shuffle-hash join (seen anti-join shape at scale)."""
+    o = t(spark, sf, "orders").hint("shuffle_hash")
+    li = t(spark, sf, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "q_merge_join",
+    """SELECT l.l_returnflag, count(*) AS n
+       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       WHERE l.l_quantity > 45 GROUP BY l.l_returnflag""",
+)
+def q_merge_join(spark, sf):
+    """C6: sort-merge join path."""
+    o = t(spark, sf, "orders").hint("merge")
+    li = t(spark, sf, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "q_left_join",
+    """SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+       FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+       GROUP BY c.c_custkey""",
+)
+def q_left_join(spark, sf):
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@q(
+    "q_semi_join",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)""",
+)
+def q_semi_join(spark, sf):
+    """C4: export-graph membership analogue (left semi join)."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").filter(F.col("o_totalprice") > 450000)
+    return c.join(o, o.o_custkey == c.c_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@q(
+    "q_anti_join",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def q_anti_join(spark, sf):
+    """C1: the seen-set dedup operator (left anti join)."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ======================================================= aggregations
+
+@q(
+    "q_groupby_agg",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                AS sum_base_price,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                       * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                AS sum_disc_price,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+                AS avg_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+                AS avg_price,
+              count(*) AS n
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def q_groupby_agg(spark, sf):
+    """D1: TPC-H Q1-shaped hash aggregate (queue statistics analogue).
+    Flagship query — partial aggregation (map-side combine) is free.
+    Sums accumulate in exact DECIMAL (accumulation ORDER differs across
+    engines/partitions; double sums would drift), then cast to double;
+    averages divide the exact sum by the count."""
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    one = F.lit(1).cast("decimal(18,4)")
+    return (
+        t(spark, sf, "lineitem")
+        .filter(F.col("l_shipdate") <= "2000-01-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+            (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@q(
+    "q_groupby_having",
+    """SELECT o_custkey, count(*) AS n FROM orders
+       GROUP BY o_custkey HAVING count(*) >= 15""",
+)
+def q_groupby_having(spark, sf):
+    """D2: per-host budget accounting analogue (agg + post-filter)."""
+    return (
+        t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 15)
+    )
+
+
+@q(
+    "q_dedup_minby",
+    """WITH fl AS (SELECT l_orderkey, min(l_linenumber) AS first_line
+                   FROM lineitem GROUP BY l_orderkey)
+       SELECT fl.l_orderkey, fl.first_line, min(l.l_partkey) AS first_partkey
+       FROM fl JOIN lineitem l
+         ON l.l_orderkey = fl.l_orderkey AND l.l_linenumber = fl.first_line
+       GROUP BY fl.l_orderkey, fl.first_line""",
+)
+def q_dedup_minby(spark, sf):
+    """D3: first-wins dedup — exactly the engine's first_wins shape:
+    min(struct(l_linenumber, l_partkey)) is a deterministic composite min
+    even when (l_orderkey, l_linenumber) has ties (this data has 1161 tie
+    groups; a bare min_by/arg_min would be nondeterministic)."""
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min(F.struct("l_linenumber", "l_partkey")).alias("m"))
+        .select(
+            "l_orderkey",
+            F.col("m.l_linenumber").alias("first_line"),
+            F.col("m.l_partkey").alias("first_partkey"),
+        )
+    )
+
+
+@q(
+    "q_count_distinct",
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def q_count_distinct(spark, sf):
+    """D4: exact distinct count (len(processedURLs) analogue)."""
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("nd"))
+    )
+
+
+@q("q_approx_count_distinct")  # rows-only: HLL sketches differ per engine
+def q_approx_count_distinct(spark, sf):
+    """D4 cheap-monitoring variant (approx; driver rows-only check)."""
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey").alias("nd_approx"))
+    )
+
+
+@q(
+    "q_rollup",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def q_rollup(spark, sf):
+    """D5: metrics roll-up."""
+    return (
+        t(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "q_cube",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n
+       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)
+def q_cube(spark, sf):
+    return (
+        t(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ======================================================= windows
+
+def _w_user():
+    """Per-user event ordering (needs an active session to build)."""
+    return Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+
+@q(
+    "q_row_number",
+    """SELECT event_id, user_id, rn FROM (
+         SELECT event_id, user_id,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         FROM events) WHERE rn <= 3""",
+)
+def q_row_number(spark, sf):
+    """E1: per-host FIFO ordering operator (row_number per partition)."""
+    return (
+        t(spark, sf, "events")
+        .withColumn("rn", F.row_number().over(_w_user()))
+        .filter(F.col("rn") <= 3)
+        .select("event_id", "user_id", "rn")
+    )
+
+
+@q(
+    "q_topk_per_group",
+    """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+         SELECT o_orderpriority, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders) WHERE rn <= 3""",
+)
+def q_topk_per_group(spark, sf):
+    """E2: politeness budget operator (top-K per group)."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        t(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+@q(
+    "q_rank",
+    """SELECT o_orderpriority, o_orderkey, rnk FROM (
+         SELECT o_orderpriority, o_orderkey,
+                dense_rank() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC) AS rnk
+         FROM orders) WHERE rnk <= 3""",
+)
+def q_rank(spark, sf):
+    """E3: priority scoring rank."""
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    return (
+        t(spark, sf, "orders")
+        .withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "rnk")
+    )
+
+
+@q(
+    "q_lag_lead",
+    """SELECT event_id, user_id,
+              round(value - lag(value) OVER w, 4) AS delta,
+              round(lead(value) OVER w - value, 4) AS delta_next
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def q_lag_lead(spark, sf):
+    """E4: analytic frames (inter-fetch crawl_delay check shape)."""
+    e = t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(_w_user()), 4).alias("delta"),
+        F.round(F.lead("value").over(_w_user()) - F.col("value"), 4).alias(
+            "delta_next"
+        ),
+    )
+
+
+@q(
+    "q_moving_avg",
+    """SELECT event_id, user_id,
+              round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma
+       FROM events""",
+)
+def q_moving_avg(spark, sf):
+    return t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(_w_user().rowsBetween(-2, 0)), 4).alias("ma"),
+    )
+
+
+# ======================================================= sort / topk
+
+@q(
+    "q_order_by",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""",
+)
+def q_order_by(spark, sf):
+    """F1: global BFS-order sort (deterministic tie-break)."""
+    return (
+        t(spark, sf, "lineitem")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(20)
+    )
+
+
+@q(
+    "q_topk",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+def q_topk(spark, sf):
+    """F2: maxRenderTasks cutoff (TakeOrderedAndProject, no full sort)."""
+    return (
+        t(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# ======================================================= set ops
+
+@q(
+    "q_union_distinct",
+    """SELECT o_custkey AS custkey FROM orders
+       UNION SELECT c_custkey AS custkey FROM customer""",
+)
+def q_union_distinct(spark, sf):
+    """G1: seen ∪ new."""
+    o = t(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = t(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
+    return o.union(c).distinct()
+
+
+@q(
+    "q_intersect",
+    """SELECT c_custkey AS custkey FROM customer
+       INTERSECT SELECT o_custkey AS custkey FROM orders""",
+)
+def q_intersect(spark, sf):
+    c = t(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = t(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.intersect(o)
+
+
+@q(
+    "q_except",
+    """SELECT c_custkey AS custkey FROM customer
+       EXCEPT SELECT o_custkey AS custkey FROM orders""",
+)
+def q_except(spark, sf):
+    """G2: seen-set equality checks use exactly this op."""
+    c = t(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = t(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.exceptAll(o).distinct()
+
+
+# ======================================================= scalar functions
+
+@q(
+    "q_explode",
+    """SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part""",
+)
+def q_explode(spark, sf):
+    """H1 analogue: link-list explode."""
+    return t(spark, sf, "part").select(
+        "p_partkey", F.explode(F.split("p_name", " ")).alias("word")
+    )
+
+
+@q(
+    "q_string_fns",
+    """SELECT c_custkey, upper(c_name) AS up, substring(c_name, 1, 5) AS sub,
+              concat_ws('|', c_mktsegment, c_name) AS cat,
+              regexp_replace(c_name, '[0-9]+', '#', 'g') AS rep
+       FROM customer""",
+)
+def q_string_fns(spark, sf):
+    """H2 analogue: canonicalizer string-op surface."""
+    c = t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.substring("c_name", 1, 5).alias("sub"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("cat"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("rep"),
+    )
+
+
+@q(
+    "q_math_fns",
+    """SELECT l_orderkey, l_linenumber, abs(-l_discount) AS a,
+              round(l_extendedprice, 1) AS r, round(sqrt(l_quantity), 4) AS sq,
+              CAST(floor(l_tax * 100) AS BIGINT) AS fl,
+              CAST(ceil(l_discount * 100) AS BIGINT) AS ce,
+              round(ln(1 + l_quantity), 4) AS ln1p
+       FROM lineitem""",
+)
+def q_math_fns(spark, sf):
+    """H5: math/hash expression surface."""
+    li = t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(-F.col("l_discount")).alias("a"),
+        F.round("l_extendedprice", 1).alias("r"),
+        F.round(F.sqrt("l_quantity"), 4).alias("sq"),
+        F.floor(F.col("l_tax") * 100).alias("fl"),
+        F.ceil(F.col("l_discount") * 100).alias("ce"),
+        F.round(F.log1p("l_quantity"), 4).alias("ln1p"),
+    )
+
+
+@q(
+    "q_json_extract",
+    """SELECT event_id,
+              CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+       FROM events""",
+)
+def q_json_extract(spark, sf):
+    """H6: JSON message-plane analogue."""
+    return t(spark, sf, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@q(
+    "q_date_fns",
+    """SELECT event_id, CAST(year(ts) AS INTEGER) AS y,
+              CAST(month(ts) AS INTEGER) AS m, CAST(day(ts) AS INTEGER) AS d,
+              date_trunc('month', ts) AS mon
+       FROM events""",
+)
+def q_date_fns(spark, sf):
+    """H7: date/time surface."""
+    e = t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.date_trunc("month", "ts").alias("mon"),
+    )
+
+
+@q(
+    "q_array_fns",
+    """SELECT p_partkey, len(string_split(p_name, ' ')) AS n_words,
+              list_contains(string_split(p_name, ' '), 'gear') AS has_gear
+       FROM part""",
+)
+def q_array_fns(spark, sf):
+    """H8: array function surface (links[] analogue)."""
+    p = t(spark, sf, "part")
+    arr = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        F.size(arr).alias("n_words"),
+        F.array_contains(arr, "gear").alias("has_gear"),
+    )
+
+
+# ======================================================= streaming-shaped
+
+@q(
+    "q_tumbling_window",
+    """SELECT date_trunc('hour', ts) AS ws, count(*) AS n,
+              CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+       FROM events GROUP BY date_trunc('hour', ts)""",
+)
+def q_tumbling_window(spark, sf):
+    """I3: tumbling event-time window (aligned 1h); exact decimal sum."""
+    return (
+        t(spark, sf, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sv"),
+        )
+        .select(F.col("w.start").alias("ws"), "n", "sv")
+    )
+
+
+@q(
+    "q_session_gap",
+    """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions FROM (
+         SELECT user_id,
+                CASE WHEN prev IS NULL
+                       OR date_diff('second', prev, ts) > 600 THEN 1
+                     ELSE 0 END AS new_session
+         FROM (SELECT user_id, ts,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS prev
+               FROM events))
+       GROUP BY user_id""",
+)
+def q_session_gap(spark, sf):
+    """I3: sessionization (gaps-and-islands; 10-minute gap)."""
+    e = t(spark, sf, "events").withColumn("prev", F.lag("ts").over(_w_user()))
+    new_s = F.when(
+        F.col("prev").isNull()
+        | (F.expr("timestampdiff(SECOND, prev, ts)") > 600),
+        1,
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").cast("long").alias("n_sessions"))
+    )
+
+
+@q("q_session_window_native")  # rows-only: session_window is Spark-native
+def q_session_window_native(spark, sf):
+    """I3/I4: Spark-native session_window (no clean ANSI equivalent)."""
+    return (
+        t(spark, sf, "events")
+        .groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("w.start").alias("ws"), "n")
+    )
+
+
+# ======================================================= training-data ops
+
+@q(
+    "q_doc_token_count",
+    """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+       FROM documents""",
+)
+def q_doc_token_count(spark, sf):
+    """Token counting (whitespace tokenizer) over documents."""
+    return t(spark, sf, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+
+
+@q(
+    "q_doc_quality",
+    """SELECT doc_id,
+              CAST(length(text) AS INTEGER) AS n_chars,
+              CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+              round((length(text) - len(string_split(text, ' ')) + 1.0)
+                    / len(string_split(text, ' ')), 4) AS avg_token_len,
+              CAST((length(text) - length(replace(text, 'the', ''))) / 3
+                   AS INTEGER) AS stopword_hits
+       FROM documents""",
+)
+def q_doc_quality(spark, sf):
+    """Quality scoring: length / token stats / stopword hits."""
+    d = t(spark, sf, "documents")
+    ntok = F.size(F.split("text", " "))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        ntok.alias("n_tokens"),
+        F.round((F.length("text") - ntok + 1.0) / ntok, 4).alias("avg_token_len"),
+        (
+            (F.length("text") - F.length(F.regexp_replace("text", "the", ""))) / 3
+        )
+        .cast("int")
+        .alias("stopword_hits"),
+    )
+
+
+@q("q_doc_fingerprint", "SELECT doc_id, md5(text) AS fp FROM documents")
+def q_doc_fingerprint(spark, sf):
+    """Document fingerprinting (content hash)."""
+    return t(spark, sf, "documents").select("doc_id", F.md5("text").alias("fp"))
+
+
+@q(
+    "q_dedup_exact",
+    """SELECT fp, count(*) AS n FROM
+         (SELECT md5(text) AS fp FROM documents) GROUP BY fp""",
+)
+def q_dedup_exact(spark, sf):
+    """Exact dedup: hash-groupBy on content fingerprint."""
+    return (
+        t(spark, sf, "documents")
+        .select(F.md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "q_lang_pred",
+    """SELECT doc_id,
+              CASE WHEN length(text) - length(replace(text, ' the ', '')) >= 10
+                     THEN 'en_heavy'
+                   WHEN contains(text, 'spark') THEN 'tech'
+                   ELSE 'other' END AS lang_pred
+       FROM documents""",
+)
+def q_lang_pred(spark, sf):
+    """Language-ID heuristic (marker-token scoring).  The synthetic corpus
+    shares one vocabulary across langs, so this demonstrates the operator
+    mechanics; the heuristic itself is deterministic + SQL-expressible."""
+    d = t(spark, sf, "documents")
+    the_hits = F.length("text") - F.length(F.regexp_replace("text", " the ", ""))
+    return d.select(
+        "doc_id",
+        F.when(the_hits >= 10, "en_heavy")
+        .when(F.col("text").contains("spark"), "tech")
+        .otherwise("other")
+        .alias("lang_pred"),
+    )
+
+
+@q(
+    "q_embed_norm",
+    """SELECT vec_id,
+              round(sqrt(list_dot_product(
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)))), 4) AS nrm
+       FROM embeddings""",
+)
+def q_embed_norm(spark, sf):
+    """Embedding L2 norm via JVM higher-order functions (no Python)."""
+    e = t(spark, sf, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select("vec_id", F.round(F.sqrt(sq), 4).alias("nrm"))
+
+
+def _query_vec(spark, sf):
+    row = (
+        t(spark, sf, "embeddings").filter(F.col("vec_id") == 0).select("embedding")
+    ).first()
+    return [float(x) for x in row["embedding"]]
+
+
+@q(
+    "q_ann_cosine_topk",
+    """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                  FROM embeddings WHERE vec_id = 0)
+       SELECT vec_id,
+              round(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv)
+                    / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                             list_transform(embedding, x -> CAST(x AS DOUBLE))))
+                       * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+       FROM embeddings, q WHERE vec_id != 0
+       ORDER BY cos DESC, vec_id LIMIT 10""",
+)
+def q_ann_cosine_topk(spark, sf):
+    """Brute-force cosine top-k (exact ANN baseline) against vec_id=0."""
+    e = t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    return similarity.cosine_topk(e, "vec_id", "embedding", _query_vec(spark, sf))
+
+
+@q("q_minhash_pairs")  # rows-only: MinHash+LSH is not ANSI-SQL-expressible
+def q_minhash_pairs(spark, sf):
+    """MinHash+LSH near-dup candidate pairs with signature-agreement
+    estimate (threshold 0.2 — the synthetic corpus has no true dups)."""
+    d = t(spark, sf, "documents")
+    return similarity.near_duplicates(d, "doc_id", "text", threshold=0.2)
+
+
+@q("q_simhash")  # rows-only
+def q_simhash(spark, sf):
+    """64-bit SimHash per document (vectorized mapInPandas)."""
+    return similarity.simhash_df(t(spark, sf, "documents"), "doc_id", "text")
