@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line (driver contract).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   parquet dir            (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] thread count   (default 32)
+  RENDLER_BENCH_WAVES  crawl waves            (default 6)
+  RENDLER_BENCH_HOSTS / RENDLER_BENCH_BUDGET  synthetic-web sizing
+
+Two workload groups:
+  * headline operator queries over the testdata tables (timed with a
+    noop-sink write so Catalyst cannot prune the measured work);
+  * the crawl wave loop on the bench-tier synthetic web — the north-rule
+    metric is fetched URLs/sec of this loop (BASELINE.json:L2); session
+    startup is excluded, per-wave numbers land in the JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    waves = int(os.environ.get("RENDLER_BENCH_WAVES", "6"))
+    hosts = int(os.environ.get("RENDLER_BENCH_HOSTS", "256"))
+    budget = int(os.environ.get("RENDLER_BENCH_BUDGET", "48"))
+
+    from rendler_spark.engine import CrawlEngine
+    from rendler_spark.queries import QUERIES
+    from rendler_spark.session import get_spark
+    from rendler_spark.synthweb import WebConfig
+
+    spark = get_spark(f"local[{cpus}]", "rendler_bench", shuffle_partitions=cpus)
+
+    headline = [
+        "q_groupby_agg",
+        "q_shuffle_join",
+        "q_topk_per_group",
+        "q_anti_join",
+        "q_order_by",
+        "q_count_distinct",
+        "q_tumbling_window",
+        "q_session_gap",
+        "q_ann_cosine_topk",
+        "q_minhash_pairs",
+    ]
+    queries: dict[str, float] = {}
+    for name in headline:
+        t0 = time.monotonic()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    # ---- crawl wave loop (the north-rule metric)
+    cfg = WebConfig(
+        n_hosts=hosts, pages_per_host=256, max_links=12,
+        n_seeds=min(64, hosts), budget=budget,
+    )
+    wh = tempfile.mkdtemp(prefix="rendler_bench_wh_")
+    try:
+        eng = CrawlEngine(spark, cfg, wh, n_partitions=cpus)
+        eng.init()
+        t0 = time.monotonic()
+        stats = eng.run_waves(0, waves)
+        crawl_sec = time.monotonic() - t0
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    fetched = sum(s["n_fetched"] for s in stats)
+    queries["crawl_wave_loop"] = round(crawl_sec, 3)
+
+    out = {
+        "metric": "headline_total",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0),
+        "crawl": {
+            "fetched_urls": fetched,
+            "waves": len(stats),
+            "urls_per_sec": round(fetched / crawl_sec, 2) if crawl_sec else None,
+            "wave_fetches": [s["n_fetched"] for s in stats],
+            "wave_ms": [s["wall_ms"] for s in stats],
+            "cpus": cpus,
+        },
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -130,6 +130,34 @@ def make_bloom_builder(m_bits: int, k: int):
     return build
 
 
+def _bloom_or_reducer(pdf: pd.DataFrame) -> pd.DataFrame:
+    """OR-merge several bit blobs of one shard (incremental bloom update)."""
+    acc = np.frombuffer(pdf["bits"].iloc[0], dtype=np.uint8).copy()
+    for b in pdf["bits"].iloc[1:]:
+        acc |= np.frombuffer(b, dtype=np.uint8)
+    return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])], "bits": [acc.tobytes()]})
+
+
+def make_copartition_prefilter(k: int, out_schema: str):
+    """Cogrouped prefilter: each task receives ONE shard's candidates plus
+    that shard's bloom bits — the shuffle-hash-join-by-hash-prefix path
+    (BASELINE.json:L6) for when the union of shards exceeds broadcast size.
+    Emits candidate rows + ``_maybe`` (bloom verdict)."""
+
+    def flt(cdf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
+        if len(bdf) == 0:
+            maybe = np.zeros(len(cdf), dtype=bool)  # empty shard: all new
+        else:
+            maybe = bloomops.contains(
+                bytes(bdf["bits"].iloc[0]), cdf["url_hash"].to_numpy(np.int64), k
+            )
+        out = cdf.copy()
+        out["_maybe"] = maybe
+        return out
+
+    return flt
+
+
 def first_wins(df: DataFrame) -> DataFrame:
     """D3: deterministic first-discovery dedup — min (depth, seq) per URL
     (crawl_semantics rule 4); host rides along (constant per URL)."""
@@ -183,19 +211,36 @@ class CrawlEngine:
 
     # ----------------------------------------------------- bloom state
 
-    def _update_bloom(self, additions: DataFrame) -> None:
+    def _update_bloom(self, additions: DataFrame, version: int) -> None:
+        """Fold a wave's seen-additions into the Bloom state.
+
+        broadcast mode: bits collected to the driver (bits-sized, never
+        row-sized), OR-merged, re-broadcast.
+        copartition mode: bits live in a ``bloom`` warehouse table,
+        OR-merged distributed — nothing ever gathers on the driver, which
+        is the 10^10-scale requirement.
+        """
         if self.bloom_mode == "off":
             return
-        rows = (
+        new_bits = (
             additions.select("shard", "url_hash")
             .groupBy("shard")
             .applyInPandas(
                 make_bloom_builder(self.bloom_bits, self.bloom_k),
                 "shard int, bits binary",
             )
-            .collect()
         )
-        for r in rows:
+        if self.bloom_mode == "copartition":
+            if version > 0 and self.wh.exists("bloom", version - 1):
+                old = self.wh.read(self.spark, "bloom", wave=version - 1).drop("wave")
+                new_bits = (
+                    old.unionByName(new_bits)
+                    .groupBy("shard")
+                    .applyInPandas(_bloom_or_reducer, "shard int, bits binary")
+                )
+            self.wh.overwrite_partition("bloom", version, new_bits)
+            return
+        for r in new_bits.collect():
             cur = np.frombuffer(r["bits"], dtype=np.uint8)
             prev = self._shard_bits.get(int(r["shard"]))
             self._shard_bits[int(r["shard"])] = cur if prev is None else prev | cur
@@ -219,22 +264,41 @@ class CrawlEngine:
     # ----------------------------------------------------- admission
 
     def _admit(
-        self, candidates: DataFrame, seen: DataFrame | None
+        self, candidates: DataFrame, seen: DataFrame | None, version: int = 0
     ) -> tuple[DataFrame, DataFrame]:
         """Dedup candidates against the seen set (C1/C2), gate by robots
         (B3); returns (seen_additions, frontier_additions).
 
         candidates: (url, host, depth, seq), already first-wins-deduped.
+        ``version``: bloom state version to prefilter with (copartition).
         """
         cand = candidates.withColumn("url_hash", F.xxhash64("url")).withColumn(
             "shard", F.pmod("url_hash", F.lit(self.n_shards)).cast("int")
         )
         if seen is not None:
             seen_keys = seen.select("url_hash", "url")
-            if self.bloom_mode != "off" and self._bc is not None:
-                cand = cand.withColumn("_maybe", self._maybe_seen_udf()(F.col("url_hash")))
-                sure_new = cand.filter(~F.col("_maybe")).drop("_maybe")
-                need_check = cand.filter(F.col("_maybe")).drop("_maybe")
+            flagged = None
+            if self.bloom_mode == "broadcast" and self._bc is not None:
+                flagged = cand.withColumn(
+                    "_maybe", self._maybe_seen_udf()(F.col("url_hash"))
+                )
+            elif self.bloom_mode == "copartition" and self.wh.exists("bloom", version):
+                bloom_tbl = self.wh.read(self.spark, "bloom", wave=version).drop("wave")
+                out_schema = (
+                    "url string, host string, depth int, seq bigint, "
+                    "url_hash bigint, shard int, _maybe boolean"
+                )
+                flagged = (
+                    cand.groupBy("shard")
+                    .cogroup(bloom_tbl.groupBy("shard"))
+                    .applyInPandas(
+                        make_copartition_prefilter(self.bloom_k, out_schema),
+                        out_schema,
+                    )
+                )
+            if flagged is not None:
+                sure_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
+                need_check = flagged.filter(F.col("_maybe")).drop("_maybe")
                 # exact anti-join is authoritative; bloom only shrinks it
                 checked = need_check.join(
                     seen_keys.hint("shuffle_hash"), ["url_hash", "url"], "left_anti"
@@ -274,16 +338,36 @@ class CrawlEngine:
         seen_add, frontier_add = self._admit(first_wins(df), None)
         self.wh.overwrite_partition("seen", 0, seen_add)
         self.wh.overwrite_partition("frontier", 0, frontier_add)
-        self._update_bloom(self.wh.read(self.spark, "seen", wave=0))
+        self._update_bloom(self.wh.read(self.spark, "seen", wave=0), 0)
         n = self.wh.read(self.spark, "frontier", wave=0).count()
         self.wh.commit(0, {"kind": "init", "n_seeds": len(canon), "n_frontier": n})
+
+    def _frontier_size(self, version: int) -> int:
+        """Frontier row count at a state version — read from the manifest
+        (written by the committing wave), falling back to a count job."""
+        man = self.wh.manifest(version)
+        key = "n_frontier" if man.get("kind") == "init" else "n_frontier_next"
+        if key in man:
+            return int(man[key])
+        return self.wh.read(self.spark, "frontier", wave=version).count()
 
     def run_wave(self, w: int) -> dict | None:
         """One batch iteration; returns wave stats or None if the frontier
         is exhausted.  Idempotent: re-running an uncommitted wave
-        overwrites its partition dirs (Warehouse contract)."""
+        overwrites its partition dirs (Warehouse contract).
+
+        Job economy: all row counts ride on the table writes via
+        ``df.observe`` (no separate count jobs); the frontier size comes
+        from the previous wave's manifest — a wave runs ~7 Spark jobs
+        regardless of scale (SURVEY.md §4.3)."""
+        from pyspark.sql import Observation
+
         t0 = time.monotonic()
         spark = self.spark
+
+        n_frontier = self._frontier_size(w)
+        if n_frontier == 0:
+            return None
 
         frontier = (
             self.wh.read(spark, "frontier", wave=w)
@@ -294,36 +378,51 @@ class CrawlEngine:
         flagged = budget_flagged(frontier, n_salt=self.n_salt).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        n_frontier = flagged.count()
-        if n_frontier == 0:
-            flagged.unpersist()
-            return None
         fetch = flagged.filter(F.col("_fetch")).select(*FRONTIER_COLS)
         deferred = flagged.filter(~F.col("_fetch")).select(*FRONTIER_COLS)
-        n_fetched = fetch.count()
 
-        # ---- fetch + render (Arrow UDF stage)
+        # ---- fetch + render (Arrow UDF stage); upper-bound the fetch set
+        # by frontier size to pick the task count without a count job
         nparts = max(
             1,
-            min(self.n_partitions, math.ceil(n_fetched / self.rows_per_fetch_task)),
+            min(self.n_partitions, math.ceil(n_frontier / self.rows_per_fetch_task)),
         )
+        obs_pages = Observation()
         pages = (
             fetch.repartition(nparts)
             .mapInPandas(make_fetch_render(self.cfg), PAGE_SCHEMA)
             .withColumn("part_id", F.spark_partition_id())
+            .observe(obs_pages, F.count(F.lit(1)).alias("n_fetched"))
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
         images = pages.select(
             F.col("url").alias("image_id"), "bytes", "w", "h", "fmt", "caption", "phash"
         )
-        self.wh.overwrite_partition("images", w, images)
-        self.wh.overwrite_partition(
-            "fetch_log", w, pages.select("url", "host", "depth", "seq", "part_id")
+        self.wh.overwrite_partition("images", w, images)  # job 1 (materializes)
+        n_fetched = int(obs_pages.get["n_fetched"])
+        if n_fetched == 0:  # budget can never defer ALL rows; 0 = done
+            flagged.unpersist()
+            pages.unpersist()
+            return None
+        # fetch_log carries the packed links so the link pipeline re-reads
+        # THIS small table instead of the bytes-heavy pages cache
+        self.wh.overwrite_partition(  # job 2 (from cache)
+            "fetch_log",
+            w,
+            pages.select("url", "host", "depth", "seq", "part_id", "links"),
         )
+        part_counts = {  # job 3: per-partition lineage (tiny, from cache)
+            str(r["part_id"]): r["count"]
+            for r in pages.groupBy("part_id").count().collect()
+        }
+        pages.unpersist()  # image bytes leave memory here
 
-        # ---- link extraction -> edges (A4) + discovery candidates
+        # ---- link extraction -> edges (A4) + discovery candidates.
+        # canonicalization runs ONCE: resolved (no image bytes) is the
+        # cached frame both edges and candidates derive from.
+        staged = self.wh.read(spark, "fetch_log", wave=w).drop("wave")
         resolved = (
-            pages.select(
+            staged.select(
                 "url",
                 "depth",
                 "seq",
@@ -332,9 +431,13 @@ class CrawlEngine:
             .filter(F.col("href") != "")
             .withColumn("dst", canon_udf(F.col("url"), F.col("href")))
             .filter(F.col("dst").rlike("^https?://"))
+            .select("url", "depth", "seq", "pos", "dst")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        obs_edges = Observation()
+        edges = resolved.select(F.col("url").alias("src"), "dst").observe(
+            obs_edges, F.count(F.lit(1)).alias("n_links")
         )
-        edges = resolved.select(F.col("url").alias("src"), "dst")
-        self.wh.overwrite_partition("edges", w, edges)
+        self.wh.overwrite_partition("edges", w, edges)  # job 4 (materializes)
 
         cand = first_wins(
             resolved.select(
@@ -344,29 +447,30 @@ class CrawlEngine:
                 (F.col("seq") * SEQ_BASE + F.col("pos")).cast("long").alias("seq"),
             )
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        n_candidates = cand.count()
 
         seen = self.wh.read(spark, "seen", upto=w)
-        seen_add, frontier_add = self._admit(cand, seen)
-        self.wh.overwrite_partition("seen", w + 1, seen_add)
+        seen_add, frontier_add = self._admit(cand, seen, version=w)
+        obs_seen = Observation()
+        seen_add = seen_add.observe(
+            obs_seen,
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(F.col("blocked").cast("int")).alias("n_blocked"),
+        )
+        self.wh.overwrite_partition("seen", w + 1, seen_add)  # job 5
+        n_new = int(obs_seen.get["n_new"])
+        n_blocked = int(obs_seen.get["n_blocked"] or 0)
 
+        obs_next = Observation()
+        nxt = deferred.unionByName(frontier_add).observe(
+            obs_next, F.count(F.lit(1)).alias("n")
+        )
+        self.wh.overwrite_partition("frontier", w + 1, nxt)  # job 6
+        n_frontier_next = int(obs_next.get["n"])
         added = self.wh.read(spark, "seen", wave=w + 1)
-        n_new = added.count()
-        n_blocked = added.filter(F.col("blocked")).count()
+        self._update_bloom(added, w + 1)  # job 7 (collect or table write)
 
-        nxt = deferred.unionByName(frontier_add)
-        self.wh.overwrite_partition("frontier", w + 1, nxt)
-        self._update_bloom(added)
-
-        n_links = resolved.count()
+        n_links = int(obs_edges.get["n_links"])
         n_deferred = n_frontier - n_fetched
-        part_counts = {
-            str(r["part_id"]): r["count"]
-            for r in self.wh.read(spark, "fetch_log", wave=w)
-            .groupBy("part_id")
-            .count()
-            .collect()
-        }
         wall_ms = int((time.monotonic() - t0) * 1000)
         stats = {
             "wave": w,
@@ -374,23 +478,23 @@ class CrawlEngine:
             "n_fetched": n_fetched,
             "n_deferred": n_deferred,
             "n_links": n_links,
-            "n_candidates": n_candidates,
-            "n_dup_seen": n_candidates - n_new,
             "n_new": n_new,
             "n_robots_blocked": n_blocked,
+            "n_frontier_next": n_frontier_next,
             "wall_ms": wall_ms,
             "partitions": part_counts,
         }
+        stats = {k: v for k, v in stats.items() if v is not None}
         metrics_pdf = pd.DataFrame(
             [{k: v for k, v in stats.items() if k != "partitions"}]
         )
-        self.wh.overwrite_partition(
+        self.wh.overwrite_partition(  # job 8 (tiny)
             "wave_metrics", w, spark.createDataFrame(metrics_pdf)
         )
         self.wh.commit(w + 1, {"kind": "wave", **stats})
 
         flagged.unpersist()
-        pages.unpersist()
+        resolved.unpersist()
         cand.unpersist()
         return stats
 
@@ -422,5 +526,7 @@ class CrawlEngine:
         v = eng.wh.last_version()
         if v is None:
             raise RuntimeError("nothing to resume: no committed manifest")
-        eng._update_bloom(eng.wh.read(spark, "seen", upto=v))
+        if eng.bloom_mode == "broadcast":
+            eng._update_bloom(eng.wh.read(spark, "seen", upto=v), v)
+        # copartition mode: the bloom table is already on disk at wave=v
         return eng.run_waves(v, max_waves)

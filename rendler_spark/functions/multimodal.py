@@ -1,0 +1,187 @@
+"""Multimodal column operators: images as opaque binary + typed metadata.
+
+The images table (input_hint schema: image_id, bytes, w, h, fmt, caption,
+phash) treats media as a ``binary`` column.  Operators here follow the
+large-scale pipeline pattern: decode / feature-extract / resize run as
+Arrow-batched ``mapInPandas`` stages; pixel math is numpy per image
+(per-row interpreted cost O(1)); metadata predicates (w/h/fmt filters)
+stay JVM-side so partition/predicate pushdown still applies.
+
+Codec support: the three self-contained formats (raw/png/qlossy — see
+rendler_spark.codecs) decode for real.  External formats (jpeg, webp,
+mp4 frame-sampling) need imaging libraries this container does not have;
+those paths raise NotImplementedError behind the same UDF signature so the
+Spark-side plumbing (schema, batching, partitioning) is real and tested.
+
+phash near-dup uses banded bucketing: 64-bit phash split into 4x16-bit
+bands; images sharing any band collide into a bucket (a Hamming-<=3 pair
+must agree on >=1 band by pigeonhole); exact popcount verification runs
+JVM-side (F.bit_count on xor) — the classic LSH-for-Hamming shape that
+keeps the self-join off the full corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from rendler_spark import codecs
+
+EXTERNAL_FORMATS = {"jpeg", "jpg", "webp", "gif", "mp4", "avif"}
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    """Decode one image to HxWx3 uint8.  Stub boundary for external codecs."""
+    if fmt in codecs.FORMATS:
+        return codecs.decode(data, fmt)
+    if fmt in EXTERNAL_FORMATS:
+        raise NotImplementedError(
+            f"decoding '{fmt}' requires an imaging library not present in "
+            "this container; plug a decoder into rendler_spark.functions."
+            "multimodal.decode_image"
+        )
+    raise ValueError(f"unknown image format {fmt!r}")
+
+
+def image_stats(df: DataFrame, bytes_col: str = "bytes", fmt_col: str = "fmt") -> DataFrame:
+    """Per-image channel means/stds (feature-extraction shape).
+
+    Output: image_id, mean_r/g/b, std_r/g/b (rounded to 4)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            means = np.empty((len(pdf), 3))
+            stds = np.empty((len(pdf), 3))
+            for i, (b, f_) in enumerate(zip(pdf[bytes_col], pdf[fmt_col])):
+                px = decode_image(bytes(b), f_).astype(np.float64)
+                means[i] = px.mean(axis=(0, 1))
+                stds[i] = px.std(axis=(0, 1))
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "mean_r": means[:, 0].round(4),
+                    "mean_g": means[:, 1].round(4),
+                    "mean_b": means[:, 2].round(4),
+                    "std_r": stds[:, 0].round(4),
+                    "std_g": stds[:, 1].round(4),
+                    "std_b": stds[:, 2].round(4),
+                }
+            )
+
+    return df.select("image_id", bytes_col, fmt_col).mapInPandas(
+        gen,
+        "image_id string, mean_r double, mean_g double, mean_b double, "
+        "std_r double, std_g double, std_b double",
+    )
+
+
+def resize_images(
+    df: DataFrame, out_w: int, out_h: int, out_fmt: str = "png"
+) -> DataFrame:
+    """Nearest-neighbor resize + re-encode (thumbnailing shape).
+
+    Output keeps the input_hint schema with updated bytes/w/h/fmt/phash."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yi = None
+        for pdf in batches:
+            out_bytes, phashes = [], []
+            for b, f_ in zip(pdf["bytes"], pdf["fmt"]):
+                px = decode_image(bytes(b), f_)
+                h, w, _ = px.shape
+                yi = (np.arange(out_h) * h) // out_h
+                xi = (np.arange(out_w) * w) // out_w
+                small = px[np.ix_(yi, xi)]
+                out_bytes.append(codecs.encode(small, out_fmt))
+                phashes.append(codecs.phash(small))
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "bytes": out_bytes,
+                    "w": np.full(len(pdf), out_w, dtype=np.int32),
+                    "h": np.full(len(pdf), out_h, dtype=np.int32),
+                    "fmt": [out_fmt] * len(pdf),
+                    "caption": pdf["caption"],
+                    "phash": np.array(phashes, dtype=np.int64),
+                }
+            )
+
+    return df.select("image_id", "bytes", "fmt", "caption").mapInPandas(
+        gen,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash bigint",
+    )
+
+
+def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame sampling — STUB: no video codec exists in this container.
+    The signature/schema is the real contract; plug a decoder to activate."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                raise NotImplementedError(
+                    "video decoding requires a codec library not present in "
+                    "this container"
+                )
+            yield pd.DataFrame(
+                {"image_id": [], "frame_idx": [], "bytes": []}
+            )
+
+    return df.select("image_id", "bytes").mapInPandas(
+        gen, "image_id string, frame_idx int, bytes binary"
+    )
+
+
+# ------------------------------------------------------- phash near-dup
+
+def phash_near_duplicates(
+    images: DataFrame, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Near-duplicate images by perceptual-hash Hamming distance.
+
+    Banded exact-match bucketing (pigeonhole: distance <= n_bands-1 implies
+    at least one identical 16-bit band) -> bucket-local self-join -> exact
+    JVM popcount verify.  All JVM-side; no Python in the path.
+    """
+    assert 64 % n_bands == 0
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("phash"), i * width).bitwiseAND(
+                    F.lit(mask)
+                ).alias("key"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    b = images.select(
+        F.col("image_id").alias("id"), "phash", F.explode(bands).alias("bk")
+    ).select("id", "phash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left, right = b.alias("l"), b.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.phash").alias("ph_a"),
+            F.col("r.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

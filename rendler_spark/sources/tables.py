@@ -109,6 +109,25 @@ class Warehouse:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
 
+    def truncate(self, version: int) -> None:
+        """Roll the warehouse back to state ``version``: drop manifests and
+        partition dirs belonging to later waves.  State tables (frontier/
+        seen/bloom) keep wave <= version (their wave=N dir belongs to
+        commit N); output tables keep wave < version (wave w's outputs are
+        committed by version w+1).  Used by the scaling bench to re-run the
+        same continuation repeatedly, and usable for manual rollback."""
+        for p in (self.root / "_manifests").glob("v*.json"):
+            if int(p.stem[1:]) > version:
+                p.unlink()
+        state = {"frontier", "seen", "bloom"}
+        for table_dir in self.root.iterdir():
+            if not table_dir.is_dir() or table_dir.name.startswith("_"):
+                continue
+            keep_upto = version if table_dir.name in state else version - 1
+            for part in table_dir.glob("wave=*"):
+                if int(part.name.split("=")[1]) > keep_upto:
+                    shutil.rmtree(part)
+
     def all_manifests(self) -> list[dict]:
         last = self.last_version()
         if last is None:

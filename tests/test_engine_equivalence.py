@@ -94,16 +94,43 @@ def test_metrics_and_manifests(run, spark):
         assert sum(man["partitions"].values()) == man["n_fetched"]
 
 
+def test_export_graph(run, spark, tmp_path):
+    """A5/C4: GraphViz export — edges kept iff BOTH endpoints rendered."""
+    from rendler_spark.operators.export_graph import export_dot, rendered_edges
+
+    eng, _, oracle = run
+    edges = eng.wh.read(spark, "edges")
+    images = eng.wh.read(spark, "images")
+    got = {(r["src"], r["dst"]) for r in rendered_edges(edges, images).collect()}
+    want = {
+        (s, d) for s, d, _ in oracle.edges if s in oracle.images and d in oracle.images
+    }
+    assert got == want
+    dot = export_dot(edges, images, str(tmp_path / "result.dot"))
+    assert dot.startswith("digraph G {") and dot.rstrip().endswith("}")
+    assert dot.count(" -> ") == len(want)
+    assert (tmp_path / "result.dot").exists()
+
+
 def test_bloom_modes_agree(spark, tmp_path):
-    """bloom=off (pure anti-join) and bloom=broadcast produce identical
-    frontiers/seen — the prefilter is invisible to semantics."""
-    a = CrawlEngine(spark, CFG, str(tmp_path / "a"), bloom_mode="off")
-    a.run(2)
-    b = CrawlEngine(spark, CFG, str(tmp_path / "b"), bloom_mode="broadcast")
-    b.run(2)
-    sa = {r["url"] for r in a.wh.read(spark, "seen").select("url").collect()}
-    sb = {r["url"] for r in b.wh.read(spark, "seen").select("url").collect()}
-    assert sa == sb
-    fa = sorted(r["url"] for r in a.wh.read(spark, "frontier", wave=2).collect())
-    fb = sorted(r["url"] for r in b.wh.read(spark, "frontier", wave=2).collect())
-    assert fa == fb
+    """bloom=off (pure anti-join), bloom=broadcast, and bloom=copartition
+    (cogrouped shard-bits table — the 10^10-scale path) produce identical
+    seen sets and frontiers: the prefilter is invisible to semantics."""
+    engines = {
+        mode: CrawlEngine(spark, CFG, str(tmp_path / mode), bloom_mode=mode)
+        for mode in ("off", "broadcast", "copartition")
+    }
+    results = {}
+    for mode, e in engines.items():
+        e.run(2)
+        seen = frozenset(
+            r["url"] for r in e.wh.read(spark, "seen").select("url").collect()
+        )
+        frontier = tuple(
+            sorted(
+                (r["url"], r["depth"], r["seq"])
+                for r in e.wh.read(spark, "frontier", wave=2).collect()
+            )
+        )
+        results[mode] = (seen, frontier)
+    assert results["off"] == results["broadcast"] == results["copartition"]

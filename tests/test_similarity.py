@@ -1,0 +1,73 @@
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from rendler_spark.functions import similarity as S
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+    (2, "completely different content about spark shuffle partitions and joins"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (4, "spark shuffle partitions and joins require careful key distribution"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_shingles_deterministic():
+    a = S._shingle_hashes(DOCS[0][1])
+    b = S._shingle_hashes(DOCS[0][1])
+    assert (a == b).all()
+    assert len(a) > 0
+    assert not np.array_equal(a, S._shingle_hashes(DOCS[2][1]))
+
+
+def test_minhash_identical_docs_identical_sigs():
+    s0 = S.minhash_signature(S._shingle_hashes(DOCS[0][1]))
+    s3 = S.minhash_signature(S._shingle_hashes(DOCS[3][1]))
+    assert (s0 == s3).all() and len(s0) == 64
+
+
+def test_minhash_estimates_jaccard():
+    a = S._shingle_hashes(DOCS[0][1])
+    b = S._shingle_hashes(DOCS[1][1])
+    true_j = len(np.intersect1d(a, b)) / len(np.union1d(a, b))
+    sa, sb = S.minhash_signature(a, k=256), S.minhash_signature(b, k=256)
+    est = (sa == sb).mean()
+    assert abs(est - true_j) < 0.15
+
+
+def test_near_duplicates_end_to_end(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard_est"]
+        for r in S.near_duplicates(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0  # exact dup
+    assert (0, 1) in pairs  # near dup (one word differs)
+    assert not any({a, b} == {0, 2} for a, b in pairs)  # unrelated docs
+
+
+def test_simhash_properties(spark, docs):
+    rows = {r["id"]: r["simhash"] for r in S.simhash_df(docs, "doc_id", "text").collect()}
+    assert rows[0] == rows[3]  # identical docs
+    ham_near = bin((rows[0] ^ rows[1]) & (2**64 - 1)).count("1")
+    ham_far = bin((rows[0] ^ rows[2]) & (2**64 - 1)).count("1")
+    assert ham_near < ham_far
+
+
+def test_cosine_topk(spark):
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    vecs[7] = vecs[0] * 2.0  # same direction as the query -> cos 1.0
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(50), "embedding": [v.tolist() for v in vecs]})
+    )
+    top = S.cosine_topk(
+        df.filter(F.col("vec_id") != 0), "vec_id", "embedding", vecs[0].tolist(), k=3
+    ).collect()
+    assert top[0]["vec_id"] == 7 and top[0]["cos"] == pytest.approx(1.0, abs=1e-3)

@@ -1,0 +1,55 @@
+import pyspark.sql.functions as F
+import pytest
+
+from rendler_spark.streaming import windows as W
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def test_tumbling_counts_total(spark, events):
+    out = W.tumbling_counts(events, duration="1 hour")
+    assert out.agg(F.sum("n")).first()[0] == events.count()
+
+
+def test_sliding_overlap(spark, events):
+    """1h windows sliding 30min: each event lands in exactly 2 windows."""
+    out = W.sliding_counts(events, duration="1 hour", slide="30 minutes")
+    assert out.agg(F.sum("n")).first()[0] == 2 * events.count()
+
+
+def test_session_counts_match_gaps_and_islands(spark, events):
+    native = W.session_counts(events, gap="10 minutes")
+    per_user_native = {
+        r["user_id"]: r["cnt"]
+        for r in native.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    from rendler_spark.queries import QUERIES
+
+    per_user_sql = {
+        r["user_id"]: r["n_sessions"] for r in QUERIES["q_session_gap"](spark, SF).collect()
+    }
+    assert per_user_native == per_user_sql
+
+
+def test_streaming_pipeline_runs(spark, events, tmp_path):
+    """Real readStream -> window agg -> memory sink, availableNow trigger."""
+    src = str(tmp_path / "stream_src")
+    events.limit(500).write.mode("overwrite").parquet(src)
+    stream = W.stream_events_dir(spark, src, events.schema)
+    assert stream.isStreaming
+    agg = W.tumbling_counts(W.with_watermark(stream, delay="30 minutes"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_win")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    total = spark.sql("SELECT sum(n) FROM t_win").first()[0]
+    assert total == 500
