@@ -65,6 +65,11 @@ class WebConfig:
     delay_mod: int = 8  # host i has crawl_delay=2.0 iff i % delay_mod == 0
     img_min: int = 32  # image side range (FIXTURES.md §2.1: [32, 128])
     img_span: int = 97
+    supersample: int = 1  # render quality: S^2 sub-pixel samples per pixel
+    # (the reference rendered with a full WebKit engine at ~1s/page
+    # [upstream: python/render.js via PhantomJS]; supersample>1 models that
+    # render-dominated cost profile honestly — the bench tier uses it so
+    # the fetch/render stage is the CPU sink, as it is in a real crawler)
 
     @classmethod
     def t2(cls) -> "WebConfig":
@@ -234,10 +239,15 @@ def render_pixels(cfg: WebConfig, hi: int, pj: int) -> np.ndarray:
     w, h = int(w[0]), int(h[0])
     c = mix(cfg.seed, _T_IMG, np.uint64(hi), np.uint64(pj), np.arange(5))
     a, b, cc, d, s = (int(x % np.uint64(251)) for x in c)
-    x = np.arange(w, dtype=np.int64)[None, :, None]
-    y = np.arange(h, dtype=np.int64)[:, None, None]
+    S = max(1, int(cfg.supersample))
+    x = np.arange(w * S, dtype=np.int64)[None, :, None]
+    y = np.arange(h * S, dtype=np.int64)[:, None, None]
     ch = np.arange(3, dtype=np.int64)[None, None, :]
     px = (a * x + b * y + cc * ch + ((x * y) >> 4) * d + s) & 255
+    if S == 1:
+        return px.astype(np.uint8)
+    # box-downsample the supersampled canvas (antialiased render)
+    px = px.reshape(h, S, w, S, 3).mean(axis=(1, 3))
     return px.astype(np.uint8)
 
 
