@@ -46,7 +46,7 @@ WH = "/tmp/rendler_scaling_wh"
 # erratic multi-10s stalls that say nothing about the engine; (8,32) is
 # reported too.
 PAIRS = [(4, 16), (8, 32)]
-REPS = {(4, 16): 2, (8, 32): 2} if QUICK else {(4, 16): 3, (8, 32): 2}
+REPS = {(4, 16): 2, (8, 32): 2} if QUICK else {(4, 16): 2, (8, 32): 2}
 RAMP_WAVES = 3 if QUICK else 4
 MEASURE_WAVES = 1  # one steady-state wave (~65k fetches at full config)
 
@@ -55,12 +55,47 @@ CFG = WebConfig(
     pages_per_host=256 if QUICK else 512,
     max_links=12,
     n_seeds=256 if QUICK else 512,
-    budget=64 if QUICK else 128,
-    supersample=6,  # high-quality (antialiased) render: ~55 ms/page — the
-    # render-dominated cost profile of the reference (PhantomJS rendered at
-    # ~1 s/page); with cheap renders the wave is bound by the sandbox's
-    # single-disk parquet IO, which no core count can scale
+    budget=48 if QUICK else 64,
+    render_iters=500,  # iterative-refinement render, ~30 ms/page of pure
+    # cache-resident ALU — the render-dominated cost profile of the
+    # reference (PhantomJS rendered at ~1 s/page).  ALU-bound (not
+    # supersample's memory-bandwidth-bound) so the stage parallelizes as
+    # well as this host allows; see hw_ceiling below.
 )
+
+
+def _hw_work(n: int) -> int:
+    """Pure-CPU allocation-free numpy kernel (module-level: picklable)."""
+    import numpy as _np
+
+    x = _np.arange(19200, dtype=_np.int32)
+    tmp = _np.empty_like(x)
+    for i in range(n):
+        _np.multiply(x, 31, out=tmp)
+        _np.add(tmp, i, out=tmp)
+        _np.bitwise_and(tmp, 255, out=x)
+    return n
+
+
+def hw_ceiling(pairs) -> dict:
+    """Measure the SANDBOX's own parallel-scaling ceiling with a pure-CPU,
+    allocation-free numpy kernel (no Spark, no IO, no Python-worker
+    machinery).  Wall-clock on these shared/overcommitted vCPUs does not
+    deliver 4x from 4x processes even for perfect code — engine efficiency
+    is reported both raw and normalized by this ceiling."""
+    from multiprocessing import Pool
+
+    def bench(nproc, rounds=100_000):
+        t0 = time.monotonic()
+        with Pool(nproc) as p:
+            p.map(_hw_work, [rounds] * nproc)
+        return nproc * rounds / (time.monotonic() - t0)
+
+    out = {}
+    for n_low, n_high in pairs:
+        lo, hi = bench(n_low), bench(n_high)
+        out[f"{n_low}->{n_high}"] = round(hi / (4 * lo), 3)
+    return out
 
 
 def ramp(cores: int = 32) -> int:
@@ -96,6 +131,8 @@ def one_trial(cores: int, base_version: int) -> dict:
 
 
 def main() -> None:
+    ceiling = hw_ceiling(PAIRS)
+    print(f"# hw ceiling (pure-CPU multiprocess): {ceiling}", file=sys.stderr)
     v = ramp()
     pairs_out = []
     all_trials = []
@@ -115,23 +152,31 @@ def main() -> None:
             for c in pair
         }
         eff = med[n_high] / (4 * med[n_low])
+        ceil = ceiling.get(f"{n_low}->{n_high}", 1.0)
         pairs_out.append(
             {
                 "n_low": n_low,
                 "n_high": n_high,
                 "median_urls_per_sec": med,
                 "efficiency": round(eff, 3),
+                "hw_ceiling": ceil,
+                "efficiency_vs_hw_ceiling": round(eff / ceil, 3),
             }
         )
-        print(f"# pair {pair}: medians={med} efficiency={eff:.3f}", file=sys.stderr)
+        print(
+            f"# pair {pair}: medians={med} efficiency={eff:.3f} "
+            f"(hw ceiling {ceil}, normalized {eff/ceil:.3f})",
+            file=sys.stderr,
+        )
 
     out = {
         "metric": "crawl_scaling_efficiency",
         "pairs": pairs_out,
         "trials": all_trials,
+        "hw_ceiling": ceiling,
         "config": {
             "hosts": CFG.n_hosts, "budget": CFG.budget,
-            "supersample": CFG.supersample,
+            "supersample": CFG.supersample, "render_iters": CFG.render_iters,
             "ramp_waves": RAMP_WAVES, "measure_waves": MEASURE_WAVES,
         },
     }

@@ -193,6 +193,9 @@ class CrawlEngine:
         bloom_mode: str = "broadcast",  # or "copartition" / "off"
         n_partitions: int | None = None,
         rows_per_fetch_task: int = 64,
+        seen_join_hint: str | None = None,  # None = let AQE choose (right
+        # while the maybe-seen side is broadcastable); "shuffle_hash" pins
+        # the C2 shuffle-hash-by-hash-prefix plan for 10^10-scale seen sets
     ):
         self.spark = spark
         self.cfg = cfg
@@ -205,6 +208,7 @@ class CrawlEngine:
         self.bloom_mode = bloom_mode
         self.n_partitions = n_partitions or spark.sparkContext.defaultParallelism
         self.rows_per_fetch_task = rows_per_fetch_task
+        self.seen_join_hint = seen_join_hint
         self.robots = robots_df(spark, cfg)
         self._shard_bits: dict[int, np.ndarray] = {}
         self._bc = None
@@ -296,12 +300,14 @@ class CrawlEngine:
                         out_schema,
                     )
                 )
+            if self.seen_join_hint:
+                seen_keys = seen_keys.hint(self.seen_join_hint)
             if flagged is not None:
                 sure_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
                 need_check = flagged.filter(F.col("_maybe")).drop("_maybe")
                 # exact anti-join is authoritative; bloom only shrinks it
                 checked = need_check.join(
-                    seen_keys.hint("shuffle_hash"), ["url_hash", "url"], "left_anti"
+                    seen_keys, ["url_hash", "url"], "left_anti"
                 )
                 new = sure_new.unionByName(checked)
             else:
@@ -449,7 +455,7 @@ class CrawlEngine:
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
         seen = self.wh.read(spark, "seen", upto=w)
-        seen_add, frontier_add = self._admit(cand, seen, version=w)
+        seen_add, _ = self._admit(cand, seen, version=w)
         obs_seen = Observation()
         seen_add = seen_add.observe(
             obs_seen,
@@ -460,13 +466,16 @@ class CrawlEngine:
         n_new = int(obs_seen.get["n_new"])
         n_blocked = int(obs_seen.get["n_blocked"] or 0)
 
+        # frontier additions come FROM the written seen partition — the
+        # admit chain (bloom prefilter + anti-join) runs exactly once
+        added = self.wh.read(spark, "seen", wave=w + 1)
+        frontier_add = added.filter(~F.col("blocked")).select(*FRONTIER_COLS)
         obs_next = Observation()
         nxt = deferred.unionByName(frontier_add).observe(
             obs_next, F.count(F.lit(1)).alias("n")
         )
         self.wh.overwrite_partition("frontier", w + 1, nxt)  # job 6
         n_frontier_next = int(obs_next.get["n"])
-        added = self.wh.read(spark, "seen", wave=w + 1)
         self._update_bloom(added, w + 1)  # job 7 (collect or table write)
 
         n_links = int(obs_edges.get["n_links"])

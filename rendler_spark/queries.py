@@ -233,6 +233,44 @@ def q_anti_join(spark, sf):
     )
 
 
+@q(
+    "q_three_way_join",
+    """SELECT r.r_name, count(*) AS n
+       FROM customer c
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY r.r_name""",
+)
+def q_three_way_join(spark, sf):
+    """C2/C6: multi-join plan — Catalyst reorders and broadcasts the dims."""
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "q_scalar_subquery",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       WHERE o_totalprice > (SELECT avg(o_totalprice) * 2 FROM orders)""",
+)
+def q_scalar_subquery(spark, sf):
+    """Scalar subquery predicate — expressed as a broadcast cross-join with
+    the 1-row aggregate (fully in-plan; no driver round-trip)."""
+    o = t(spark, sf, "orders")
+    thr = o.agg((F.avg("o_totalprice") * 2).alias("_thr"))
+    return (
+        o.crossJoin(F.broadcast(thr))
+        .filter(F.col("o_totalprice") > F.col("_thr"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
 # ======================================================= aggregations
 
 @q(

@@ -49,13 +49,30 @@ class Warehouse:
 
     # ----------------------------------------------------------- write
 
-    def overwrite_partition(self, table: str, wave: int, df: DataFrame) -> None:
+    def overwrite_partition(
+        self,
+        table: str,
+        wave: int,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+    ) -> None:
         """(Re)write one wave partition of a table.  Any pre-existing dir is
-        removed first so re-running an uncommitted wave is idempotent."""
+        removed first so re-running an uncommitted wave is idempotent.
+
+        ``partition_by`` adds Hive sub-partition dirs inside the wave dir
+        (e.g. ``bucket=`` for images keyed by pmod(xxhash64(image_id), B),
+        ``shard=`` for the seen table) — at 10^10 scale this is what turns
+        a point lookup or a per-shard job into a pruned read instead of a
+        table scan.  Off by default in the sandbox: with small waves it
+        just multiplies small files.
+        """
         path = self.part_dir(table, wave)
         if path.exists():
             shutil.rmtree(path)
-        df.write.mode("overwrite").parquet(str(path))
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(str(path))
 
     # ----------------------------------------------------------- read
 

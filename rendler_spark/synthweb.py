@@ -66,10 +66,14 @@ class WebConfig:
     img_min: int = 32  # image side range (FIXTURES.md §2.1: [32, 128])
     img_span: int = 97
     supersample: int = 1  # render quality: S^2 sub-pixel samples per pixel
+    render_iters: int = 0  # iterative-refinement rounds after the base pass
     # (the reference rendered with a full WebKit engine at ~1s/page
-    # [upstream: python/render.js via PhantomJS]; supersample>1 models that
-    # render-dominated cost profile honestly — the bench tier uses it so
-    # the fetch/render stage is the CPU sink, as it is in a real crawler)
+    # [upstream: python/render.js via PhantomJS]; these knobs model that
+    # render-dominated cost profile honestly — the bench tier uses them so
+    # the fetch/render stage is the CPU sink, as it is in a real crawler.
+    # supersample spends its cost in memory bandwidth (big canvases);
+    # render_iters spends it in ALU on a cache-resident buffer, so it
+    # parallelizes linearly across cores — use it for scaling benches)
 
     @classmethod
     def t2(cls) -> "WebConfig":
@@ -244,10 +248,23 @@ def render_pixels(cfg: WebConfig, hi: int, pj: int) -> np.ndarray:
     y = np.arange(h * S, dtype=np.int64)[:, None, None]
     ch = np.arange(3, dtype=np.int64)[None, None, :]
     px = (a * x + b * y + cc * ch + ((x * y) >> 4) * d + s) & 255
-    if S == 1:
-        return px.astype(np.uint8)
-    # box-downsample the supersampled canvas (antialiased render)
-    px = px.reshape(h, S, w, S, 3).mean(axis=(1, 3))
+    if S > 1:
+        # box-downsample the supersampled canvas (antialiased render)
+        px = px.reshape(h, S, w, S, 3).mean(axis=(1, 3)).astype(np.int64)
+    # iterative refinement: neighbor-mixing rounds on the final-size buffer
+    # (int32, ~20-60 KB -> cache-resident; deterministic)
+    R = int(cfg.render_iters)
+    if R > 0:
+        q = px.astype(np.int32)
+        for r in range(R):
+            q = (
+                q * np.int32(31)
+                + np.roll(q, 1, axis=0)
+                + np.roll(q, -1, axis=1)
+                + (q >> np.int32(3))
+                + np.int32(17 * r + 1)
+            ) & np.int32(255)
+        px = q
     return px.astype(np.uint8)
 
 
