@@ -885,3 +885,21 @@ def q_minhash_pairs(spark, sf):
 def q_simhash(spark, sf):
     """64-bit SimHash per document (vectorized mapInPandas)."""
     return similarity.simhash_df(t(spark, sf, "documents"), "doc_id", "text")
+
+
+@q("q_crawl_smoke")  # rows-only: the flagship engine end-to-end
+def q_crawl_smoke(spark, sf):
+    """The crawl engine itself: 2 waves on the t1 synthetic web, returning
+    the rendered images table (input_hint schema).  Ties the wave loop —
+    politeness, bloom dedup, robots, fetch/render, checkpointing — into
+    the driver harness; semantics are separately proven against the
+    reference-loop oracle in tests/test_engine_equivalence.py."""
+    import tempfile
+
+    from rendler_spark.engine import CrawlEngine
+    from rendler_spark.synthweb import WebConfig
+
+    wh = tempfile.mkdtemp(prefix="rendler_q_crawl_")
+    eng = CrawlEngine(spark, WebConfig(), wh)
+    eng.run(2)
+    return eng.wh.read(spark, "images").drop("wave")

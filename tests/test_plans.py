@@ -1,0 +1,87 @@
+"""Physical-plan audits (the ".explain and iterate" discipline).
+
+Correctness says the answer is right; these tests pin HOW Spark computes
+it — the properties that decide whether the same query survives a 100x
+scale-up: filters reaching the parquet scan, projection pruning the read
+schema, the intended join strategies, top-k avoiding a full sort, and no
+Python in JVM-expressible paths.
+"""
+
+import pytest
+
+from rendler_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _explain(spark, name):
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown(spark):
+    s = _explain(spark, "q_filter")
+    assert "PushedFilters:" in s
+    assert "l_shipdate" in s.split("PushedFilters:")[1][:400]
+    assert "l_quantity" in s.split("PushedFilters:")[1][:400]
+
+
+def test_projection_prunes_read_schema(spark):
+    s = _explain(spark, "q_project")
+    read = s.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read and "l_discount" in read
+    assert "l_comment" not in read and "l_shipdate" not in read
+
+
+def test_broadcast_join_strategy(spark):
+    assert "BroadcastHashJoin" in _explain(spark, "q_broadcast_join")
+
+
+def test_shuffle_hash_join_strategy(spark):
+    assert "ShuffledHashJoin" in _explain(spark, "q_shuffle_join")
+
+
+def test_merge_join_strategy(spark):
+    assert "SortMergeJoin" in _explain(spark, "q_merge_join")
+
+
+def test_anti_and_semi_join_strategies(spark):
+    assert "LeftAnti" in _explain(spark, "q_anti_join")
+    assert "LeftSemi" in _explain(spark, "q_semi_join")
+
+
+def test_topk_avoids_full_sort(spark):
+    s = _explain(spark, "q_topk")
+    assert "TakeOrderedAndProject" in s
+    assert "Exchange rangepartitioning" not in s  # no global sort shuffle
+
+
+def test_partial_aggregation_present(spark):
+    """Map-side combine: hash aggregate appears in partial+final pairs."""
+    s = _explain(spark, "q_groupby_agg")
+    assert s.count("HashAggregate") >= 2
+    assert "partial" in s.lower()
+
+
+def test_no_python_in_jvm_paths(spark):
+    """Queries built from built-in functions must show NO Python eval."""
+    for name in ("q_groupby_agg", "q_embed_norm", "q_string_fns", "q_session_gap"):
+        s = _explain(spark, name)
+        assert "ArrowEvalPython" not in s and "BatchEvalPython" not in s, name
+
+
+def test_wholestage_codegen_spans(spark):
+    df = QUERIES["q_groupby_agg"](spark, SF)
+    df.collect()  # AQE final plan (with codegen ids) exists post-execution
+    s = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark WholeStageCodegen spans in the plan string
+    assert "isFinalPlan=true" in s and "*(" in s
+    assert "*(2) HashAggregate" in s or "*(1) HashAggregate" in s
+
+
+@pytest.mark.parametrize("name", ["q_limit", "q_order_by"])
+def test_limits_are_limits(spark, name):
+    s = _explain(spark, name)
+    assert "TakeOrderedAndProject" in s or "GlobalLimit" in s
