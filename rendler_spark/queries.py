@@ -257,13 +257,13 @@ def q_three_way_join(spark, sf):
 @q(
     "q_scalar_subquery",
     """SELECT o_orderkey, o_totalprice FROM orders
-       WHERE o_totalprice > (SELECT avg(o_totalprice) * 2 FROM orders)""",
+       WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)""",
 )
 def q_scalar_subquery(spark, sf):
     """Scalar subquery predicate — expressed as a broadcast cross-join with
     the 1-row aggregate (fully in-plan; no driver round-trip)."""
     o = t(spark, sf, "orders")
-    thr = o.agg((F.avg("o_totalprice") * 2).alias("_thr"))
+    thr = o.agg((F.avg("o_totalprice") * 1.5).alias("_thr"))
     return (
         o.crossJoin(F.broadcast(thr))
         .filter(F.col("o_totalprice") > F.col("_thr"))

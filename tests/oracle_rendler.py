@@ -44,13 +44,14 @@ def run_oracle(cfg: synthweb.WebConfig, max_waves: int) -> OracleResult:
     robots = {h: (dis, delay) for h, dis, delay in synthweb.robots(cfg)}
     frontier: list[tuple[str, str, int, int]] = []  # (url, host, depth, seq)
 
-    def admit(url: str, depth: int, seq: int) -> str:
+    def admit(url: str, depth: int, seq: int, host: str = None, path: str = None) -> str:
         """crawl_semantics rule 5: dedup-by-seen, robots gate, enqueue."""
         if url in res.seen:
             return "dup"
         res.seen.add(url)
-        host = str(urlnorm.host_of(pd.Series([url])).iloc[0])
-        path = str(urlnorm.path_of(pd.Series([url])).iloc[0])
+        if host is None:
+            host = str(urlnorm.host_of(pd.Series([url])).iloc[0])
+            path = str(urlnorm.path_of(pd.Series([url])).iloc[0])
         dis, _ = robots.get(host, ([], None))
         if any(path.startswith(p) for p in dis):
             res.blocked.add(url)
@@ -88,19 +89,30 @@ def run_oracle(cfg: synthweb.WebConfig, max_waves: int) -> OracleResult:
                 str(synthweb.page_caption(cfg, hi, pj).iloc[0]),
             )
             hrefs = linkfns.extract_links_list(html).iloc[0]
-            for pos, href in enumerate(hrefs):
-                dst = urlnorm.canonicalize_one(url, href)
-                if not bool(urlnorm.is_http(pd.Series([dst])).iloc[0]):
-                    continue
-                n_links += 1
-                res.edges.append((url, dst, wave))
-                discoveries.append((depth + 1, seq * SEQ_BASE + pos, dst))
+            if hrefs:
+                # batch the pure functions per page (same code path as the
+                # engine's vectorized UDFs; the sequential crawl LOGIC below
+                # is untouched)
+                dsts = urlnorm.canonicalize(
+                    pd.Series([url] * len(hrefs)), pd.Series(hrefs)
+                )
+                oks = urlnorm.is_http(dsts)
+                for pos, (dst, ok) in enumerate(zip(dsts, oks)):
+                    if not bool(ok):
+                        continue
+                    n_links += 1
+                    res.edges.append((url, str(dst), wave))
+                    discoveries.append((depth + 1, seq * SEQ_BASE + pos, str(dst)))
 
         # admission in (depth, seq) order (crawl_semantics rule 4)
         discoveries.sort()
         counts = defaultdict(int)
-        for d, s, u in discoveries:
-            counts[admit(u, d, s)] += 1
+        if discoveries:
+            d_urls = pd.Series([u for _, _, u in discoveries])
+            d_hosts = urlnorm.host_of(d_urls)
+            d_paths = urlnorm.path_of(d_urls)
+            for (d, s, u), h_, p_ in zip(discoveries, d_hosts, d_paths):
+                counts[admit(u, d, s, str(h_), str(p_))] += 1
         res.metrics.append(
             {
                 "wave": wave,
