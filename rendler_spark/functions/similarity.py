@@ -193,11 +193,137 @@ def cosine_topk(
     df: DataFrame, id_col: str, vec_col: str, qvec: list[float], k: int = 10
 ) -> DataFrame:
     """Brute-force ANN baseline: exact top-k by cosine (TakeOrderedAndProject
-    — no full sort).  The IVF/LSH-bucketed variant reuses lsh bucketing on
-    sign-random-projection hashes; brute force is the exactness baseline."""
+    — no full sort).  ``srp_topk`` below is the LSH-bucketed scale path;
+    brute force is its exactness/recall baseline."""
     return (
         df.withColumn("cos", cosine_to_query(df, vec_col, qvec))
         .select(F.col(id_col), F.round("cos", 4).alias("cos"))
         .orderBy(F.col("cos").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+# ------------------------------------------------- SRP-LSH (ANN scale path)
+
+
+def _srp_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic random hyperplanes: unit-free gaussians via Box-Muller
+    over splitmix streams (no np.random state; reproducible everywhere)."""
+    n = dim * n_planes
+    u1 = (splitmix64(mix(seed, 101, np.arange(n))).astype(np.float64) + 1) / (2.0**64 + 2)
+    u2 = (splitmix64(mix(seed, 202, np.arange(n))).astype(np.float64) + 1) / (2.0**64 + 2)
+    g = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+    return g.reshape(n_planes, dim)
+
+
+def srp_signature_vec(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, dim) float matrix -> int64 sign signatures (one matmul)."""
+    bits = (vecs @ planes.T) > 0  # (n, n_planes)
+    out = np.zeros(len(vecs), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(planes.shape[0]):
+            out = (out << np.uint64(1)) | bits[:, j].astype(np.uint64)
+    return to_i64(out)
+
+
+def srp_signatures(
+    df: DataFrame, id_col: str, vec_col: str, n_planes: int = 16, seed: int = 42
+) -> DataFrame:
+    """Sign-random-projection signature per row: (id, vec, sig).
+
+    One Arrow-batched matmul per batch — the signature build is a single
+    pass over the corpus and the signature column is 8 bytes/row, so the
+    index 'build' costs one scan at any corpus size."""
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    planes = _srp_planes(int(dim_row["d"]), n_planes, seed)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "sig": srp_signature_vec(mat, planes),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, f"id long, {vec_col} array<float>, sig long"
+    )
+
+
+def srp_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    qvec: list[float],
+    k: int = 10,
+    n_planes: int = 16,
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH-bucketed ANN: candidates = rows whose SRP signature is within
+    ``max_hamming`` bits of the query's (JVM popcount filter — prunes the
+    corpus without touching vectors), then exact cosine on the survivors.
+
+    At 10^10 rows the signature filter reads one long column; only the
+    pruned candidate set pays the vector math."""
+    planes = _srp_planes(len(qvec), n_planes, seed)
+    qsig = int(srp_signature_vec(np.asarray([qvec], dtype=np.float64), planes)[0])
+    sigs = srp_signatures(df, id_col, vec_col, n_planes, seed)
+    cand = sigs.filter(
+        F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= max_hamming
+    )
+    out = cand.withColumn("cos", cosine_to_query(cand, vec_col, qvec))
+    return (
+        out.select(F.col("id").alias(id_col), F.round("cos", 4).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    max_hamming: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup: SRP-bucket candidates (signature pairs
+    within ``max_hamming``), exact cosine verify >= threshold.
+
+    The self-join runs on the 8-byte signature prefix (band = top 8 bits)
+    so the candidate join never goes all-pairs."""
+    sigs = srp_signatures(df, id_col, vec_col, n_planes, seed).withColumn(
+        "band", F.shiftright("sig", n_planes - 8)
+    )
+    a = sigs.select(
+        F.col("id").alias("id_a"), F.col(vec_col).alias("va"),
+        F.col("sig").alias("sig_a"), "band",
+    )
+    b = sigs.select(
+        F.col("id").alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col("sig").alias("sig_b"), "band",
+    )
+    cand = a.join(b, ["band"]).filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= max_hamming)
+    )
+    prod = F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double"))
+    dot = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.sqrt(sq(F.col("va"))) * F.sqrt(sq(F.col("vb"))))
+    return (
+        cand.withColumn("cos", F.round(cos, 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
     )

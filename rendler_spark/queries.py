@@ -873,6 +873,26 @@ def q_ann_cosine_topk(spark, sf):
     return similarity.cosine_topk(e, "vec_id", "embedding", _query_vec(spark, sf))
 
 
+@q("q_ann_lsh_topk")  # rows-only: approximate (recall checked in tests)
+def q_ann_lsh_topk(spark, sf):
+    """LSH-bucketed ANN (SRP signatures + JVM popcount prune + exact
+    cosine on survivors) — the 10^10-scale path; q_ann_cosine_topk is its
+    exactness baseline."""
+    e = t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    return similarity.srp_topk(
+        e, "vec_id", "embedding", _query_vec(spark, sf), max_hamming=5
+    )
+
+
+@q("q_embed_neardup")  # rows-only
+def q_embed_neardup(spark, sf):
+    """Embedding-cosine near-duplicate pairs via SRP bucketing."""
+    e = t(spark, sf, "embeddings")
+    return similarity.embedding_near_duplicates(
+        e, "vec_id", "embedding", threshold=0.9, max_hamming=4
+    )
+
+
 @q("q_minhash_pairs")  # rows-only: MinHash+LSH is not ANSI-SQL-expressible
 def q_minhash_pairs(spark, sf):
     """MinHash+LSH near-dup candidate pairs with signature-agreement

@@ -60,6 +60,45 @@ def test_simhash_properties(spark, docs):
     assert ham_near < ham_far
 
 
+def test_srp_lsh_ann_recall(spark):
+    """LSH ANN must recover most of the true top-k (recall vs brute force)
+    and every returned cosine must be exact (it re-scores candidates)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(400, 32)).astype(np.float32)
+    q = vecs[0].tolist()
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(400), "embedding": [v.tolist() for v in vecs]})
+    ).filter("vec_id != 0")
+    exact = [r["vec_id"] for r in S.cosine_topk(df, "vec_id", "embedding", q, k=10).collect()]
+    approx = S.srp_topk(df, "vec_id", "embedding", q, k=10, max_hamming=6).collect()
+    got = [r["vec_id"] for r in approx]
+    recall = len(set(exact) & set(got)) / 10
+    assert recall >= 0.5, (recall, exact, got)
+    # scores are exact cosines (match the brute-force scoring)
+    exact_scores = {r["vec_id"]: r["cos"] for r in S.cosine_topk(df, "vec_id", "embedding", q, k=400).collect()}
+    for r in approx:
+        assert r["cos"] == exact_scores[r["vec_id"]]
+
+
+def test_embedding_near_duplicates(spark):
+    """A planted near-identical vector must be found; random pairs not."""
+    import pandas as pd
+
+    rng = np.random.default_rng(12)
+    vecs = rng.normal(size=(100, 32)).astype(np.float32)
+    vecs[50] = vecs[7] + rng.normal(scale=0.01, size=32).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(100), "embedding": [v.tolist() for v in vecs]})
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["cos"]
+             for r in S.embedding_near_duplicates(df, "vec_id", "embedding",
+                                                  threshold=0.95).collect()}
+    assert (7, 50) in pairs and pairs[(7, 50)] > 0.99
+    assert all({a, b} == {7, 50} for a, b in pairs)  # no false pairs at 0.95
+
+
 def test_cosine_topk(spark):
     rng = np.random.default_rng(5)
     vecs = rng.normal(size=(50, 8)).astype(np.float32)
