@@ -64,7 +64,10 @@ def main() -> None:
     )
     wh = tempfile.mkdtemp(prefix="rendler_bench_wh_")
     try:
-        eng = CrawlEngine(spark, cfg, wh, n_partitions=cpus)
+        # cap UDF-stage tasks at 16: at 32 concurrent tasks this sandbox
+        # oversubscribes (JVM threads + Python workers > vCPUs) and stalls
+        # erratically — see BENCH/BASELINE.md; render work saturates by 16
+        eng = CrawlEngine(spark, cfg, wh, n_partitions=min(cpus, 16))
         eng.init()
         t0 = time.monotonic()
         stats = eng.run_waves(0, waves)
