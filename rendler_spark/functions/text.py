@@ -60,10 +60,11 @@ def fingerprint(text: F.Column | str) -> F.Column:
 
 def lang_guess(text: F.Column | str) -> F.Column:
     """Marker-token language heuristic (deterministic, SQL-expressible)."""
-    the_hits = F.length(text) - F.length(F.regexp_replace(text, " the ", ""))
+    c = F.col(text) if isinstance(text, str) else text
+    the_hits = F.length(c) - F.length(F.regexp_replace(c, " the ", ""))
     return (
         F.when(the_hits >= 10, "en_heavy")
-        .when(F.col(text if isinstance(text, str) else "text").contains("spark"), "tech")
+        .when(c.contains("spark"), "tech")
         .otherwise("other")
         .alias("lang_pred")
     )

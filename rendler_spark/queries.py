@@ -611,23 +611,35 @@ def q_string_fns(spark, sf):
 @q(
     "q_math_fns",
     """SELECT l_orderkey, l_linenumber, abs(-l_discount) AS a,
-              round(l_extendedprice, 1) AS r, round(sqrt(l_quantity), 4) AS sq,
-              CAST(floor(l_tax * 100) AS BIGINT) AS fl,
-              CAST(ceil(l_discount * 100) AS BIGINT) AS ce,
+              CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS r,
+              round(sqrt(l_quantity), 4) AS sq,
+              CAST(floor(CAST(l_tax AS DECIMAL(18,4)) * 100) AS BIGINT) AS fl,
+              CAST(ceil(CAST(l_discount AS DECIMAL(18,4)) * 100) AS BIGINT) AS ce,
               round(ln(1 + l_quantity), 4) AS ln1p
        FROM lineitem""",
 )
 def q_math_fns(spark, sf):
-    """H5: math/hash expression surface."""
+    """H5: math/hash expression surface.
+
+    round/floor/ceil on money columns go through DECIMAL on both sides
+    (same class as q_project: the source doubles carry <=2 fractional
+    digits so the cast is exact; Spark's round-on-double rounds the
+    shortest decimal string HALF_UP while DuckDB rounds the binary value,
+    and x.x5 ties land on opposite sides — 6,013 rows at sf0.01).
+    sqrt/log outputs are irrational, so round(4) is boundary-safe."""
     li = t(spark, sf, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
         F.abs(-F.col("l_discount")).alias("a"),
-        F.round("l_extendedprice", 1).alias("r"),
+        F.round(F.col("l_extendedprice").cast("decimal(18,2)"), 1)
+        .cast("double")
+        .alias("r"),
         F.round(F.sqrt("l_quantity"), 4).alias("sq"),
-        F.floor(F.col("l_tax") * 100).alias("fl"),
-        F.ceil(F.col("l_discount") * 100).alias("ce"),
+        F.floor(F.col("l_tax").cast("decimal(18,4)") * 100).cast("long").alias("fl"),
+        F.ceil(F.col("l_discount").cast("decimal(18,4)") * 100)
+        .cast("long")
+        .alias("ce"),
         F.round(F.log1p("l_quantity"), 4).alias("ln1p"),
     )
 
@@ -913,13 +925,24 @@ def q_crawl_smoke(spark, sf):
     the rendered images table (input_hint schema).  Ties the wave loop —
     politeness, bloom dedup, robots, fetch/render, checkpointing — into
     the driver harness; semantics are separately proven against the
-    reference-loop oracle in tests/test_engine_equivalence.py."""
+    reference-loop oracle in tests/test_engine_equivalence.py.
+
+    The temp warehouse is removed before returning (t1 is a few dozen
+    rows, so materializing through pandas is bounded); the returned frame
+    has no on-disk dependency, so the caller can collect it any time."""
+    import shutil
     import tempfile
 
     from rendler_spark.engine import CrawlEngine
     from rendler_spark.synthweb import WebConfig
 
     wh = tempfile.mkdtemp(prefix="rendler_q_crawl_")
-    eng = CrawlEngine(spark, WebConfig(), wh)
-    eng.run(2)
-    return eng.wh.read(spark, "images").drop("wave")
+    try:
+        eng = CrawlEngine(spark, WebConfig(), wh)
+        eng.run(2)
+        images = eng.wh.read(spark, "images").drop("wave")
+        schema = images.schema
+        pdf = images.toPandas()
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema)
