@@ -285,34 +285,118 @@ def srp_topk(
     )
 
 
+def srp_signature_words(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, dim) float matrix -> (n, n_words) int64 sign signatures.
+    Word j holds planes [64j, 64j+64) in MSB-first order (multi-word form
+    of ``srp_signature_vec`` for signatures wider than 64 planes)."""
+    bits = (vecs @ planes.T) > 0  # (n, n_planes)
+    n_planes = planes.shape[0]
+    n_words = (n_planes + 63) // 64
+    out = np.zeros((len(vecs), n_words), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(n_planes):
+            w = j // 64
+            out[:, w] = (out[:, w] << np.uint64(1)) | bits[:, j].astype(np.uint64)
+    return out.view(np.int64)
+
+
+def srp_signatures_multi(
+    df: DataFrame, id_col: str, vec_col: str, n_planes: int = 128, seed: int = 42
+) -> DataFrame:
+    """Multi-word SRP signatures: (id, vec, sig array<bigint>).  Same
+    one-matmul-per-Arrow-batch build as ``srp_signatures``; the signature
+    column is ``n_planes/8`` bytes/row regardless of vector dim."""
+    assert n_planes % 64 == 0
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    planes = _srp_planes(int(dim_row["d"]), n_planes, seed)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
+            words = srp_signature_words(mat, planes)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "sig": [w.tolist() for w in words],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, f"id long, {vec_col} array<float>, sig array<bigint>"
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    n_planes: int = 16,
-    max_hamming: int = 2,
+    n_planes: int = 128,
+    band_bits: int = 16,
+    max_hamming: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-dup: SRP-bucket candidates (signature pairs
-    within ``max_hamming``), exact cosine verify >= threshold.
+    """Embedding-cosine near-dup pairs: banded SRP-LSH candidates + exact
+    cosine verify >= threshold (no false positives; recall is the banding
+    collision probability, pinned by tests/test_similarity.py).
 
-    The self-join runs on the 8-byte signature prefix (band = top 8 bits)
-    so the candidate join never goes all-pairs."""
-    sigs = srp_signatures(df, id_col, vec_col, n_planes, seed).withColumn(
-        "band", F.shiftright("sig", n_planes - 8)
+    Scale shape (mirrors ``lsh_candidate_pairs``/``phash_near_duplicates``):
+    the 128-plane signature is exploded into ``n_planes/band_bits`` bands of
+    ``band_bits``-bit keys, and the self-join runs on the (band, key)
+    composite — 2^band_bits distinct keys per band (>= 2^16 by default), so
+    no bucket degenerates into an all-pairs join at any corpus size.  By
+    pigeonhole, every pair within Hamming distance < n_bands shares at
+    least one band.  A JVM popcount filter (``max_hamming``, auto-derived
+    from the threshold's expected SRP Hamming distance + 3 sigma when not
+    given) prunes candidates before the vector math touches floats."""
+    assert n_planes % band_bits == 0 and band_bits <= 32
+    n_bands = n_planes // band_bits
+    if max_hamming is None:
+        # E[hamming] for angle theta is n_planes * theta/pi (SRP collision
+        # bound); allow +3 sigma of the binomial so true pairs survive
+        p = float(np.arccos(min(max(threshold, -1.0), 0.999999)) / np.pi)
+        max_hamming = int(np.ceil(n_planes * p + 3 * np.sqrt(n_planes * p * (1 - p))))
+    sigs = srp_signatures_multi(df, id_col, vec_col, n_planes, seed)
+    mask = (1 << band_bits) - 1
+    per_word = 64 // band_bits
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(
+                    F.element_at("sig", i // per_word + 1),
+                    64 - band_bits * (i % per_word + 1),
+                )
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for i in range(n_bands)
+        ]
     )
-    a = sigs.select(
-        F.col("id").alias("id_a"), F.col(vec_col).alias("va"),
-        F.col("sig").alias("sig_a"), "band",
+    exploded = sigs.select(
+        "id", F.col(vec_col).alias("vec"), "sig", F.explode(bands).alias("bk")
+    ).select("id", "vec", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = exploded.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("va"),
+        F.col("sig").alias("sig_a"), "band", "key",
     )
-    b = sigs.select(
-        F.col("id").alias("id_b"), F.col(vec_col).alias("vb"),
-        F.col("sig").alias("sig_b"), "band",
+    b = exploded.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+        F.col("sig").alias("sig_b"), "band", "key",
     )
-    cand = a.join(b, ["band"]).filter(
-        (F.col("id_a") < F.col("id_b"))
-        & (F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= max_hamming)
+    ham = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(ham <= max_hamming)
     )
     prod = F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double"))
     dot = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)

@@ -898,10 +898,11 @@ def q_ann_lsh_topk(spark, sf):
 
 @q("q_embed_neardup")  # rows-only
 def q_embed_neardup(spark, sf):
-    """Embedding-cosine near-duplicate pairs via SRP bucketing."""
+    """Embedding-cosine near-duplicate pairs via banded SRP-LSH
+    (128-plane signatures, 8 bands x 16 bits) + exact cosine verify."""
     e = t(spark, sf, "embeddings")
     return similarity.embedding_near_duplicates(
-        e, "vec_id", "embedding", threshold=0.9, max_hamming=4
+        e, "vec_id", "embedding", threshold=0.9
     )
 
 

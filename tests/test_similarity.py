@@ -99,6 +99,45 @@ def test_embedding_near_duplicates(spark):
     assert all({a, b} == {7, 50} for a, b in pairs)  # no false pairs at 0.95
 
 
+def test_embedding_near_duplicates_recall_vs_bruteforce(spark):
+    """Banded LSH recall against the exact all-pairs answer: plant a
+    cluster of perturbed copies so true near-dup pairs exist at several
+    cosine levels; LSH must recover most of them (recall) and must emit
+    NOTHING the brute force doesn't (precision 1.0 — exact verify)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 32))
+    rows = [v for v in base]
+    for i in range(40):  # 2 perturbed copies per base vector
+        for scale in (0.05, 0.15):
+            rows.append(base[i] + rng.normal(scale=scale, size=32))
+    vecs = np.asarray(rows, dtype=np.float32)
+    thr = 0.9
+    # exact all-pairs ground truth (numpy)
+    vn = vecs / np.linalg.norm(vecs.astype(np.float64), axis=1, keepdims=True)
+    cosm = vn @ vn.T
+    truth = {
+        (i, j)
+        for i in range(len(vecs))
+        for j in range(i + 1, len(vecs))
+        if round(cosm[i, j], 4) >= thr
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs]})
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_duplicates(
+            df, "vec_id", "embedding", threshold=thr
+        ).collect()
+    }
+    assert len(truth) >= 60  # the fixture actually exercises the operator
+    assert got <= truth  # precision 1.0: every emitted pair is a true pair
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.8, (recall, len(truth), len(got))
+
+
 def test_cosine_topk(spark):
     rng = np.random.default_rng(5)
     vecs = rng.normal(size=(50, 8)).astype(np.float32)
