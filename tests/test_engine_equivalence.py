@@ -95,8 +95,12 @@ def test_metrics_and_manifests(run, spark):
 
 
 def test_export_graph(run, spark, tmp_path):
-    """A5/C4: GraphViz export — edges kept iff BOTH endpoints rendered."""
-    from rendler_spark.operators.export_graph import export_dot, rendered_edges
+    """A5/C4: GraphViz export — edges kept iff BOTH endpoints rendered;
+    the distributed (write.text) path is byte-identical to the
+    driver-assembled path; nodes carry the thumbnail image attribute."""
+    from rendler_spark.operators.export_graph import (
+        export_dot, export_dot_distributed, rendered_edges,
+    )
 
     eng, _, oracle = run
     edges = eng.wh.read(spark, "edges")
@@ -109,7 +113,11 @@ def test_export_graph(run, spark, tmp_path):
     dot = export_dot(edges, images, str(tmp_path / "result.dot"))
     assert dot.startswith("digraph G {") and dot.rstrip().endswith("}")
     assert dot.count(" -> ") == len(want)
+    assert dot.count('image="images/') == images.count()  # thumbnail attrs
     assert (tmp_path / "result.dot").exists()
+    # distributed path: same bytes, no row ever collected to the driver
+    dist = export_dot_distributed(edges, images, str(tmp_path / "dist"))
+    assert dist == dot
 
 
 def test_bloom_modes_agree(spark, tmp_path):
