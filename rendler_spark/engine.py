@@ -54,7 +54,7 @@ from pyspark.storagelevel import StorageLevel
 from rendler_spark import codecs, synthweb, urlnorm
 from rendler_spark.crawl_semantics import N_SHARDS, SEQ_BASE
 from rendler_spark.functions import links as linkfns
-from rendler_spark.operators import bloom as bloomops
+from rendler_spark.operators import seenfilter
 from rendler_spark.operators.politeness import budget_flagged
 from rendler_spark.operators.robots import (
     effective_budget_col, robots_df, with_robots,
@@ -119,37 +119,44 @@ def make_fetch_render(cfg: synthweb.WebConfig):
     return fetch_render
 
 
-def make_bloom_builder(m_bits: int, k: int):
-    """D6: grouped-map that folds one shard's url_hashes into Bloom bits."""
+def make_filter_builder(kind: str, params: dict):
+    """D6: grouped-map that folds one shard's url_hashes into a filter blob
+    (Bloom bits or a cuckoo table, per ``kind`` — seenfilter dispatch)."""
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
-        bits = bloomops.build_bits(pdf["url_hash"].to_numpy(np.int64), m_bits, k)
-        return pd.DataFrame({"shard": [shard], "bits": [bits.tobytes()]})
+        blob = seenfilter.build_blob(kind, pdf["url_hash"].to_numpy(np.int64), params)
+        return pd.DataFrame({"shard": [shard], "bits": [blob]})
 
     return build
 
 
-def _bloom_or_reducer(pdf: pd.DataFrame) -> pd.DataFrame:
-    """OR-merge several bit blobs of one shard (incremental bloom update)."""
-    acc = np.frombuffer(pdf["bits"].iloc[0], dtype=np.uint8).copy()
-    for b in pdf["bits"].iloc[1:]:
-        acc |= np.frombuffer(b, dtype=np.uint8)
-    return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])], "bits": [acc.tobytes()]})
+def make_filter_or_reducer(kind: str):
+    """Merge several filter blobs of one shard (incremental update):
+    bitwise OR for Bloom, entry re-insertion for cuckoo."""
+
+    def reduce(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = bytes(pdf["bits"].iloc[0])
+        for b in pdf["bits"].iloc[1:]:
+            acc = seenfilter.merge_blobs(kind, acc, b)
+        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])], "bits": [acc]})
+
+    return reduce
 
 
-def make_copartition_prefilter(k: int, out_schema: str):
+def make_copartition_prefilter(kind: str, params: dict, out_schema: str):
     """Cogrouped prefilter: each task receives ONE shard's candidates plus
-    that shard's bloom bits — the shuffle-hash-join-by-hash-prefix path
+    that shard's filter blob — the shuffle-hash-join-by-hash-prefix path
     (BASELINE.json:L6) for when the union of shards exceeds broadcast size.
-    Emits candidate rows + ``_maybe`` (bloom verdict)."""
+    Emits candidate rows + ``_maybe`` (filter verdict)."""
 
     def flt(cdf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
         if len(bdf) == 0:
             maybe = np.zeros(len(cdf), dtype=bool)  # empty shard: all new
         else:
-            maybe = bloomops.contains(
-                bytes(bdf["bits"].iloc[0]), cdf["url_hash"].to_numpy(np.int64), k
+            maybe = seenfilter.contains_blob(
+                kind, bytes(bdf["bits"].iloc[0]),
+                cdf["url_hash"].to_numpy(np.int64), params,
             )
         out = cdf.copy()
         out["_maybe"] = maybe
@@ -190,7 +197,12 @@ class CrawlEngine:
         n_shards: int = N_SHARDS,
         bloom_bits: int = 1 << 16,
         bloom_k: int = 6,
-        bloom_mode: str = "broadcast",  # or "copartition" / "off"
+        bloom_mode: str = "broadcast",  # or "copartition" / "off" —
+        # DISTRIBUTION mode of the seen prefilter (either kind)
+        filter_kind: str = "bloom",  # or "cuckoo" (deletion support;
+        # north rule names "Bloom/cuckoo" — seenfilter.py dispatch)
+        cuckoo_buckets: int = 1 << 13,
+        cuckoo_bucket_size: int = 4,
         n_partitions: int | None = None,
         rows_per_fetch_task: int = 64,
         seen_join_hint: str | None = None,  # None = let AQE choose (right
@@ -206,11 +218,19 @@ class CrawlEngine:
         self.bloom_bits = bloom_bits
         self.bloom_k = bloom_k
         self.bloom_mode = bloom_mode
+        assert filter_kind in seenfilter.KINDS, filter_kind
+        self.filter_kind = filter_kind
+        self.filter_params = {
+            "bloom_bits": bloom_bits,
+            "bloom_k": bloom_k,
+            "cuckoo_buckets": cuckoo_buckets,
+            "cuckoo_bucket_size": cuckoo_bucket_size,
+        }
         self.n_partitions = n_partitions or spark.sparkContext.defaultParallelism
         self.rows_per_fetch_task = rows_per_fetch_task
         self.seen_join_hint = seen_join_hint
         self.robots = robots_df(spark, cfg)
-        self._shard_bits: dict[int, np.ndarray] = {}
+        self._shard_blobs: dict[int, bytes] = {}
         self._bc = None
 
     # ----------------------------------------------------- bloom state
@@ -230,7 +250,7 @@ class CrawlEngine:
             additions.select("shard", "url_hash")
             .groupBy("shard")
             .applyInPandas(
-                make_bloom_builder(self.bloom_bits, self.bloom_k),
+                make_filter_builder(self.filter_kind, self.filter_params),
                 "shard int, bits binary",
             )
         )
@@ -240,27 +260,32 @@ class CrawlEngine:
                 new_bits = (
                     old.unionByName(new_bits)
                     .groupBy("shard")
-                    .applyInPandas(_bloom_or_reducer, "shard int, bits binary")
+                    .applyInPandas(
+                        make_filter_or_reducer(self.filter_kind),
+                        "shard int, bits binary",
+                    )
                 )
             self.wh.overwrite_partition("bloom", version, new_bits)
             return
         for r in new_bits.collect():
-            cur = np.frombuffer(r["bits"], dtype=np.uint8)
-            prev = self._shard_bits.get(int(r["shard"]))
-            self._shard_bits[int(r["shard"])] = cur if prev is None else prev | cur
+            cur = bytes(r["bits"])
+            prev = self._shard_blobs.get(int(r["shard"]))
+            self._shard_blobs[int(r["shard"])] = (
+                cur if prev is None else seenfilter.merge_blobs(self.filter_kind, prev, cur)
+            )
         if self._bc is not None:
             self._bc.destroy()
-        self._bc = self.spark.sparkContext.broadcast(
-            {s: b.tobytes() for s, b in self._shard_bits.items()}
-        )
+        self._bc = self.spark.sparkContext.broadcast(dict(self._shard_blobs))
 
     def _maybe_seen_udf(self):
-        bc, k, ns = self._bc, self.bloom_k, self.n_shards
+        bc, kind, params, ns = self._bc, self.filter_kind, self.filter_params, self.n_shards
 
         @F.pandas_udf(BooleanType())
         def maybe_seen(h: pd.Series) -> pd.Series:
             return pd.Series(
-                bloomops.contains_sharded(bc.value, h.to_numpy(np.int64), ns, k)
+                seenfilter.contains_sharded(
+                    kind, bc.value, h.to_numpy(np.int64), ns, params
+                )
             )
 
         return maybe_seen
@@ -296,7 +321,9 @@ class CrawlEngine:
                     cand.groupBy("shard")
                     .cogroup(bloom_tbl.groupBy("shard"))
                     .applyInPandas(
-                        make_copartition_prefilter(self.bloom_k, out_schema),
+                        make_copartition_prefilter(
+                            self.filter_kind, self.filter_params, out_schema
+                        ),
                         out_schema,
                     )
                 )
