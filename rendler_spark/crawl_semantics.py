@@ -7,11 +7,19 @@ with "BFS frontier expansion order per host" + per-host politeness budgets
 (BASELINE.json:L6,L14).  This module pins the exact, partition-independent
 definition both implementations follow:
 
-1. Every frontier row carries ``(depth, seq)``.  ``seq`` is pure lineage:
-     seed k            -> seq = k
-     link at position p of parent with seq s -> seq = s * SEQ_BASE + p
-   SEQ_BASE > max links per page, so (parent_seq, p) orders exactly like
-   the child seq — deterministic under ANY partitioning (SURVEY.md §4.2).
+1. Every frontier row carries ``(depth, seq)``.  ``seq`` is pure lineage,
+   encoded as a lowercase-hex STRING so it never overflows at depth
+   (an int64 encoding ``seq*16+pos`` silently wraps at depth ~14 with 512
+   seeds — ordering corruption, not an error):
+     seed k                                   -> seq = f"{k:016x}"
+     link at position p of parent with seq s  -> seq = s + f"{p:x}"
+   One hex digit per position requires SEQ_BASE=16 > max links per page.
+   Rows of equal depth have equal-length seqs (16 + depth chars), so
+   LEXICOGRAPHIC order on seq == numeric order of the unbounded lineage
+   integer — and (depth, seq) never compares seqs of unequal depth.
+   Spark's UTF-8 binary string sort and Python's code-point sort agree on
+   ASCII hex, so the order is deterministic under ANY partitioning and
+   identical across engine and oracle (SURVEY.md §4.2).
 
 2. Within a wave, each host fetches its frontier rows in (depth, seq)
    order, up to its effective politeness budget; the rest are deferred to
@@ -33,13 +41,22 @@ definition both implementations follow:
    admitted at wave 0.
 """
 
-SEQ_BASE = 16  # > max out-links per page (12 at the largest fixture tier)
+SEQ_BASE = 16  # lineage digits per link position: > max out-links per page
+#: hex digits in the seed prefix (supports up to 2^64 seeds)
+SEED_WIDTH = 16
 
 #: images/frontier/seen shard count — pmod(xxhash64(url), N_SHARDS)
 N_SHARDS = 16
 
 
-def child_seq(parent_seq: int, pos: int) -> int:
-    """Deterministic lineage-based sequence number (scalar form)."""
+def seed_seq(k: int) -> str:
+    """Lineage seq of seed number k (fixed-width hex prefix)."""
+    assert 0 <= k < 16**SEED_WIDTH
+    return f"{k:0{SEED_WIDTH}x}"
+
+
+def child_seq(parent_seq: str, pos: int) -> str:
+    """Deterministic lineage-based sequence (scalar form): one lowercase
+    hex digit appended per link position."""
     assert 0 <= pos < SEQ_BASE
-    return parent_seq * SEQ_BASE + pos
+    return parent_seq + f"{pos:x}"

@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
 from rendler_spark import codecs, synthweb, urlnorm
-from rendler_spark.crawl_semantics import N_SHARDS, SEQ_BASE
+from rendler_spark.crawl_semantics import N_SHARDS, SEQ_BASE, seed_seq
 from rendler_spark.functions import links as linkfns
 from rendler_spark.operators import seenfilter
 from rendler_spark.operators.politeness import budget_flagged
@@ -64,7 +64,7 @@ from rendler_spark.sources.tables import Warehouse
 HOST_RE = r"^https?://([^/?#]*)"
 FRONTIER_COLS = ("url", "host", "depth", "seq")
 PAGE_SCHEMA = (
-    "url string, host string, depth int, seq bigint, links string, "
+    "url string, host string, depth int, seq string, links string, "
     "bytes binary, w int, h int, fmt string, caption string, phash bigint"
 )
 
@@ -211,6 +211,8 @@ class CrawlEngine:
     ):
         self.spark = spark
         self.cfg = cfg
+        # lineage encodes one hex digit per link position (crawl_semantics)
+        assert cfg.max_links < SEQ_BASE, "lineage digit overflow: max_links >= 16"
         self.wh = Warehouse(warehouse)
         self.budget = cfg.budget if budget is None else budget
         self.n_salt = n_salt
@@ -314,7 +316,7 @@ class CrawlEngine:
             elif self.bloom_mode == "copartition" and self.wh.exists("bloom", version):
                 bloom_tbl = self.wh.read(self.spark, "bloom", wave=version).drop("wave")
                 out_schema = (
-                    "url string, host string, depth int, seq bigint, "
+                    "url string, host string, depth int, seq string, "
                     "url_hash bigint, shard int, _maybe boolean"
                 )
                 flagged = (
@@ -359,12 +361,11 @@ class CrawlEngine:
         raw = synthweb.seeds(self.cfg)
         canon = [urlnorm.canonicalize_one(u, u) for u in raw]
         pdf = pd.DataFrame(
-            {"url": canon, "seq": np.arange(len(canon), dtype=np.int64)}
+            {"url": canon, "seq": [seed_seq(k) for k in range(len(canon))]}
         )
         df = (
             self.spark.createDataFrame(pdf)
             .withColumn("depth", F.lit(0).cast("int"))
-            .withColumn("seq", F.col("seq").cast("long"))
             .withColumn("host", F.regexp_extract("url", HOST_RE, 1))
             .filter(F.col("url").rlike("^https?://"))
         )
@@ -472,12 +473,16 @@ class CrawlEngine:
         )
         self.wh.overwrite_partition("edges", w, edges)  # job 4 (materializes)
 
+        # child seq = parent lineage + one hex digit (crawl_semantics rule
+        # 1: string lineage never overflows, unlike seq*16+pos on int64)
         cand = first_wins(
             resolved.select(
                 F.col("dst").alias("url"),
                 F.regexp_extract("dst", HOST_RE, 1).alias("host"),
                 (F.col("depth") + 1).cast("int").alias("depth"),
-                (F.col("seq") * SEQ_BASE + F.col("pos")).cast("long").alias("seq"),
+                F.concat(
+                    F.col("seq"), F.lower(F.conv(F.col("pos"), 10, 16))
+                ).alias("seq"),
             )
         ).persist(StorageLevel.MEMORY_AND_DISK)
 

@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 import pandas as pd
 
 from rendler_spark import synthweb, urlnorm
-from rendler_spark.crawl_semantics import SEQ_BASE
+from rendler_spark.crawl_semantics import child_seq, seed_seq
 from rendler_spark.functions import links as linkfns
 
 
@@ -44,7 +44,7 @@ def run_oracle(cfg: synthweb.WebConfig, max_waves: int) -> OracleResult:
     robots = {h: (dis, delay) for h, dis, delay in synthweb.robots(cfg)}
     frontier: list[tuple[str, str, int, int]] = []  # (url, host, depth, seq)
 
-    def admit(url: str, depth: int, seq: int, host: str = None, path: str = None) -> str:
+    def admit(url: str, depth: int, seq: str, host: str = None, path: str = None) -> str:
         """crawl_semantics rule 5: dedup-by-seen, robots gate, enqueue."""
         if url in res.seen:
             return "dup"
@@ -60,7 +60,7 @@ def run_oracle(cfg: synthweb.WebConfig, max_waves: int) -> OracleResult:
         return "new"
 
     for k, u in enumerate(synthweb.seeds(cfg)):
-        admit(urlnorm.canonicalize_one(u, u), 0, k)
+        admit(urlnorm.canonicalize_one(u, u), 0, seed_seq(k))
 
     for wave in range(max_waves):
         if not frontier:
@@ -102,7 +102,7 @@ def run_oracle(cfg: synthweb.WebConfig, max_waves: int) -> OracleResult:
                         continue
                     n_links += 1
                     res.edges.append((url, str(dst), wave))
-                    discoveries.append((depth + 1, seq * SEQ_BASE + pos, str(dst)))
+                    discoveries.append((depth + 1, child_seq(seq, pos), str(dst)))
 
         # admission in (depth, seq) order (crawl_semantics rule 4)
         discoveries.sort()
