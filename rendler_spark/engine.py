@@ -205,6 +205,8 @@ class CrawlEngine:
         cuckoo_bucket_size: int = 4,
         n_partitions: int | None = None,
         rows_per_fetch_task: int = 64,
+        seen_shard_partition: bool = True,  # Hive-sub-partition seen by shard
+        seen_compact_every: int = 8,  # OR-merge seen waves every N (0 = off)
         seen_join_hint: str | None = None,  # None = let AQE choose (right
         # while the maybe-seen side is broadcastable); "shuffle_hash" pins
         # the C2 shuffle-hash-by-hash-prefix plan for 10^10-scale seen sets
@@ -231,6 +233,11 @@ class CrawlEngine:
         self.n_partitions = n_partitions or spark.sparkContext.defaultParallelism
         self.rows_per_fetch_task = rows_per_fetch_task
         self.seen_join_hint = seen_join_hint
+        self.seen_shard_partition = seen_shard_partition
+        self.seen_compact_every = seen_compact_every
+        self._seen_pby = ["shard"] if seen_shard_partition else None
+        self._wave_cache: list[DataFrame] = []
+        self._n_seen_shards_scanned: int | None = None
         self.robots = robots_df(spark, cfg)
         self._shard_blobs: dict[int, bytes] = {}
         self._bc = None
@@ -306,8 +313,8 @@ class CrawlEngine:
         cand = candidates.withColumn("url_hash", F.xxhash64("url")).withColumn(
             "shard", F.pmod("url_hash", F.lit(self.n_shards)).cast("int")
         )
+        self._n_seen_shards_scanned = None
         if seen is not None:
-            seen_keys = seen.select("url_hash", "url")
             flagged = None
             if self.bloom_mode == "broadcast" and self._bc is not None:
                 flagged = cand.withColumn(
@@ -329,6 +336,29 @@ class CrawlEngine:
                         out_schema,
                     )
                 )
+            if flagged is not None:
+                # the prefilter verdict is consumed three times (sure-new
+                # branch, anti-join branch, shard-prune collect): cache it
+                flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
+                self._wave_cache.append(flagged)
+                # prune the seen-side SCAN to shards that can possibly
+                # match: with the seen table Hive-sub-partitioned by shard
+                # this turns the per-wave re-scan of the whole seen set
+                # into a read of only the shards the maybe-seen candidates
+                # name (a tiny <=n_shards-row collect decides the list)
+                shards = sorted(
+                    int(r["shard"])
+                    for r in flagged.filter(F.col("_maybe"))
+                    .select("shard")
+                    .distinct()
+                    .collect()
+                )
+                self._n_seen_shards_scanned = len(shards)
+                if not shards:
+                    seen = seen.filter(F.lit(False))
+                elif len(shards) < self.n_shards:
+                    seen = seen.filter(F.col("shard").isin(shards))
+            seen_keys = seen.select("url_hash", "url")
             if self.seen_join_hint:
                 seen_keys = seen_keys.hint(self.seen_join_hint)
             if flagged is not None:
@@ -370,7 +400,7 @@ class CrawlEngine:
             .filter(F.col("url").rlike("^https?://"))
         )
         seen_add, frontier_add = self._admit(first_wins(df), None)
-        self.wh.overwrite_partition("seen", 0, seen_add)
+        self.wh.overwrite_partition("seen", 0, seen_add, partition_by=self._seen_pby)
         self.wh.overwrite_partition("frontier", 0, frontier_add)
         self._update_bloom(self.wh.read(self.spark, "seen", wave=0), 0)
         n = self.wh.read(self.spark, "frontier", wave=0).count()
@@ -384,6 +414,30 @@ class CrawlEngine:
         if key in man:
             return int(man[key])
         return self.wh.read(self.spark, "frontier", wave=version).count()
+
+    def _read_seen(self, upto: int) -> DataFrame:
+        """The cumulative seen set at state ``upto`` — compaction-aware.
+
+        Without compaction the per-wave anti-join re-reads every prior
+        wave's partitions (O(waves) files touched per wave — the dominant
+        recurring IO at 10^10).  ``seen_compact_every`` bounds it: the
+        newest ``seen_compact/wave=c`` snapshot replaces waves 0..c, so a
+        wave reads one snapshot + <=seen_compact_every deltas.  Original
+        wave partitions are retained for manifest-exact rollback (the
+        Iceberg snapshot-expiry analogue would GC them after a retention
+        window)."""
+        c = (
+            self.wh.latest_wave("seen_compact", upto=upto)
+            if self.seen_compact_every
+            else None
+        )
+        if c is None:
+            return self.wh.read(self.spark, "seen", upto=upto).drop("wave")
+        base = self.wh.read(self.spark, "seen_compact", wave=c).drop("wave")
+        if c >= upto:
+            return base
+        delta = self.wh.read(self.spark, "seen", upto=upto, start=c + 1).drop("wave")
+        return base.unionByName(delta)
 
     def run_wave(self, w: int) -> dict | None:
         """One batch iteration; returns wave stats or None if the frontier
@@ -486,7 +540,7 @@ class CrawlEngine:
             )
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
-        seen = self.wh.read(spark, "seen", upto=w)
+        seen = self._read_seen(w)
         seen_add, _ = self._admit(cand, seen, version=w)
         obs_seen = Observation()
         seen_add = seen_add.observe(
@@ -494,7 +548,9 @@ class CrawlEngine:
             F.count(F.lit(1)).alias("n_new"),
             F.sum(F.col("blocked").cast("int")).alias("n_blocked"),
         )
-        self.wh.overwrite_partition("seen", w + 1, seen_add)  # job 5
+        self.wh.overwrite_partition(  # job 5
+            "seen", w + 1, seen_add, partition_by=self._seen_pby
+        )
         n_new = int(obs_seen.get["n_new"])
         n_blocked = int(obs_seen.get["n_blocked"] or 0)
 
@@ -510,6 +566,19 @@ class CrawlEngine:
         n_frontier_next = int(obs_next.get["n"])
         self._update_bloom(added, w + 1)  # job 7 (collect or table write)
 
+        compacted_at = None
+        if self.seen_compact_every and (w + 1) % self.seen_compact_every == 0:
+            # fold waves 0..w+1 (newest snapshot + deltas) into one
+            # shard-partitioned snapshot; amortized one extra seen
+            # read+write per seen_compact_every waves
+            self.wh.overwrite_partition(
+                "seen_compact",
+                w + 1,
+                self._read_seen(w + 1),
+                partition_by=self._seen_pby,
+            )
+            compacted_at = w + 1
+
         n_links = int(obs_edges.get["n_links"])
         n_deferred = n_frontier - n_fetched
         wall_ms = int((time.monotonic() - t0) * 1000)
@@ -522,6 +591,8 @@ class CrawlEngine:
             "n_new": n_new,
             "n_robots_blocked": n_blocked,
             "n_frontier_next": n_frontier_next,
+            "n_seen_shards_scanned": self._n_seen_shards_scanned,
+            "seen_compacted_at": compacted_at,
             "wall_ms": wall_ms,
             "partitions": part_counts,
         }
@@ -537,6 +608,8 @@ class CrawlEngine:
         flagged.unpersist()
         resolved.unpersist()
         cand.unpersist()
+        while self._wave_cache:
+            self._wave_cache.pop().unpersist()
         return stats
 
     def run(self, max_waves: int, fresh: bool = True) -> list[dict]:
@@ -568,6 +641,6 @@ class CrawlEngine:
         if v is None:
             raise RuntimeError("nothing to resume: no committed manifest")
         if eng.bloom_mode == "broadcast":
-            eng._update_bloom(eng.wh.read(spark, "seen", upto=v), v)
+            eng._update_bloom(eng._read_seen(v), v)
         # copartition mode: the bloom table is already on disk at wave=v
         return eng.run_waves(v, max_waves)

@@ -80,21 +80,36 @@ class Warehouse:
         p = self.part_dir(table, wave) if wave is not None else self.table_dir(table)
         return p.exists()
 
+    def latest_wave(self, table: str, upto: int | None = None) -> int | None:
+        """Highest wave N with a partition dir (optionally capped at
+        ``upto``) — used to locate the newest compaction snapshot."""
+        base = self.table_dir(table)
+        if not base.exists():
+            return None
+        waves = [
+            int(d.name.split("=")[1])
+            for d in base.glob("wave=*")
+            if d.is_dir() and (upto is None or int(d.name.split("=")[1]) <= upto)
+        ]
+        return max(waves) if waves else None
+
     def read(
         self,
         spark: SparkSession,
         table: str,
         wave: int | None = None,
         upto: int | None = None,
+        start: int = 0,
     ) -> DataFrame:
         """Read a table; ``wave=`` one partition, ``upto=`` partitions
-        0..upto (explicit dir list -> partition pruning by construction).
-        The Hive-style dir names surface ``wave`` as a partition column."""
+        start..upto (explicit dir list -> partition pruning by
+        construction).  The Hive-style dir names surface ``wave`` (and any
+        sub-partition key such as ``shard``) as partition columns."""
         base = self.table_dir(table)
         if wave is not None:
             dirs = [self.part_dir(table, wave)]
         elif upto is not None:
-            dirs = [self.part_dir(table, w) for w in range(upto + 1)]
+            dirs = [self.part_dir(table, w) for w in range(start, upto + 1)]
             dirs = [d for d in dirs if d.exists()]
         else:
             dirs = sorted(
@@ -136,7 +151,7 @@ class Warehouse:
         for p in (self.root / "_manifests").glob("v*.json"):
             if int(p.stem[1:]) > version:
                 p.unlink()
-        state = {"frontier", "seen", "bloom"}
+        state = {"frontier", "seen", "seen_compact", "bloom"}
         for table_dir in self.root.iterdir():
             if not table_dir.is_dir() or table_dir.name.startswith("_"):
                 continue
