@@ -39,6 +39,15 @@ definition both implementations follow:
 
 6. Discoveries of fetch-wave w become fetchable at wave w+1; seeds are
    admitted at wave 0.
+
+7. ``max_render_tasks`` (reference: the scheduler stopped after N render
+   tasks [upstream: python/rendler.py ~L120-135]): a GLOBAL cumulative cap
+   on fetches.  Within a wave, after politeness selection, if the
+   remaining allowance is smaller than the fetch set, the allowance goes
+   to the globally smallest rows by (depth, host, seq) — shallowest BFS
+   layer first, deterministic tie-break — and the rest are deferred
+   unchanged.  A wave that opens with no allowance left ends the crawl
+   (frontier intact, resumable with a raised cap).
 """
 
 SEQ_BASE = 16  # lineage digits per link position: > max out-links per page

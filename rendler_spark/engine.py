@@ -193,6 +193,8 @@ class CrawlEngine:
         warehouse: str,
         *,
         budget: int | None = None,
+        max_render_tasks: int | None = None,  # global cumulative fetch cap
+        # (crawl_semantics rule 7, reference --max-render-tasks semantics)
         n_salt: int = 8,
         n_shards: int = N_SHARDS,
         bloom_bits: int = 1 << 16,
@@ -217,6 +219,7 @@ class CrawlEngine:
         assert cfg.max_links < SEQ_BASE, "lineage digit overflow: max_links >= 16"
         self.wh = Warehouse(warehouse)
         self.budget = cfg.budget if budget is None else budget
+        self.max_render_tasks = max_render_tasks
         self.n_salt = n_salt
         self.n_shards = n_shards
         self.bloom_bits = bloom_bits
@@ -415,6 +418,17 @@ class CrawlEngine:
             return int(man[key])
         return self.wh.read(self.spark, "frontier", wave=version).count()
 
+    def _total_fetched(self, version: int) -> int:
+        """Cumulative fetch count at a state version (manifest-carried;
+        summed as a fallback for pre-cap warehouses)."""
+        man = self.wh.manifest(version)
+        if "n_total_fetched" in man:
+            return int(man["n_total_fetched"])
+        return sum(
+            int(self.wh.manifest(v).get("n_fetched", 0))
+            for v in range(1, version + 1)
+        )
+
     def _read_seen(self, upto: int) -> DataFrame:
         """The cumulative seen set at state ``upto`` — compaction-aware.
 
@@ -456,6 +470,12 @@ class CrawlEngine:
         n_frontier = self._frontier_size(w)
         if n_frontier == 0:
             return None
+        total_before = self._total_fetched(w)
+        remaining_cap = None
+        if self.max_render_tasks is not None:
+            remaining_cap = self.max_render_tasks - total_before
+            if remaining_cap <= 0:
+                return None  # cap exhausted; frontier intact, resumable
 
         frontier = (
             self.wh.read(spark, "frontier", wave=w)
@@ -468,6 +488,22 @@ class CrawlEngine:
         )
         fetch = flagged.filter(F.col("_fetch")).select(*FRONTIER_COLS)
         deferred = flagged.filter(~F.col("_fetch")).select(*FRONTIER_COLS)
+        if remaining_cap is not None and remaining_cap < n_frontier:
+            # crawl_semantics rule 7: global cap — allowance goes to the
+            # smallest (depth, host, seq) rows; rest deferred unchanged.
+            # orderBy+limit plans as TakeOrderedAndProject for small caps
+            # and sort+GlobalLimit above the top-k threshold; the anti-join
+            # recovering the remainder broadcasts the (capped) selection.
+            sel = (
+                fetch.orderBy("depth", "host", "seq")
+                .limit(remaining_cap)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            self._wave_cache.append(sel)
+            deferred = deferred.unionByName(
+                fetch.join(sel.select("url"), "url", "left_anti")
+            )
+            fetch = sel
 
         # ---- fetch + render (Arrow UDF stage); upper-bound the fetch set
         # by frontier size to pick the task count without a count job
@@ -591,6 +627,7 @@ class CrawlEngine:
             "n_new": n_new,
             "n_robots_blocked": n_blocked,
             "n_frontier_next": n_frontier_next,
+            "n_total_fetched": total_before + n_fetched,
             "n_seen_shards_scanned": self._n_seen_shards_scanned,
             "seen_compacted_at": compacted_at,
             "wall_ms": wall_ms,

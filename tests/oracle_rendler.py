@@ -37,12 +37,17 @@ class OracleResult:
     # url -> (bytes, w, h, fmt, caption, phash)
     images: dict[str, tuple] = field(default_factory=dict)
     metrics: list[dict] = field(default_factory=list)
+    # (url, host, depth, seq) rows left unfetched when the run ended
+    frontier: list[tuple[str, str, int, str]] = field(default_factory=list)
 
 
-def run_oracle(cfg: synthweb.WebConfig, max_waves: int) -> OracleResult:
+def run_oracle(
+    cfg: synthweb.WebConfig, max_waves: int, max_render_tasks: int | None = None
+) -> OracleResult:
     res = OracleResult()
     robots = {h: (dis, delay) for h, dis, delay in synthweb.robots(cfg)}
-    frontier: list[tuple[str, str, int, int]] = []  # (url, host, depth, seq)
+    frontier: list[tuple[str, str, int, str]] = []  # (url, host, depth, seq)
+    total_fetched = 0
 
     def admit(url: str, depth: int, seq: str, host: str = None, path: str = None) -> str:
         """crawl_semantics rule 5: dedup-by-seen, robots gate, enqueue."""
@@ -75,6 +80,17 @@ def run_oracle(cfg: synthweb.WebConfig, max_waves: int) -> OracleResult:
             k = synthweb.effective_budget(cfg.budget, robots.get(host, ([], None))[1])
             fetch += rows[:k]
             defer += rows[k:]
+        if max_render_tasks is not None:  # rule 7: global cumulative cap
+            remaining = max_render_tasks - total_fetched
+            if remaining <= 0:
+                frontier = fetch + defer
+                res.frontier = list(frontier)
+                break
+            if len(fetch) > remaining:
+                fetch.sort(key=lambda r: (r[2], r[1], r[3]))  # (depth, host, seq)
+                defer += fetch[remaining:]
+                fetch = fetch[:remaining]
+        total_fetched += len(fetch)
         frontier = defer
         fetch.sort(key=lambda r: (r[1], r[2], r[3]))  # (host, depth, seq): rule 3
 
@@ -113,6 +129,7 @@ def run_oracle(cfg: synthweb.WebConfig, max_waves: int) -> OracleResult:
             d_paths = urlnorm.path_of(d_urls)
             for (d, s, u), h_, p_ in zip(discoveries, d_hosts, d_paths):
                 counts[admit(u, d, s, str(h_), str(p_))] += 1
+        res.frontier = list(frontier)
         res.metrics.append(
             {
                 "wave": wave,

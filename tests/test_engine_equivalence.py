@@ -120,6 +120,32 @@ def test_export_graph(run, spark, tmp_path):
     assert dist == dot
 
 
+def test_max_render_tasks_cap(spark, tmp_path):
+    """B4: the reference's global render cutoff [upstream: python/rendler.py
+    ~L120-135] as crawl_semantics rule 7 — a binding cumulative cap must
+    split a wave deterministically and stop the crawl, matching the oracle
+    simulator grown with the same knob."""
+    cap = 9  # binds mid-wave-2 on t1 (uncapped fetches are 2, 5, 7, ...)
+    eng = CrawlEngine(spark, CFG, str(tmp_path / "cap"), max_render_tasks=cap)
+    stats = eng.run(6)
+    oracle = run_oracle(CFG, 6, max_render_tasks=cap)
+    assert sum(s["n_fetched"] for s in stats) == cap
+    assert stats[-1]["n_total_fetched"] == cap
+    rows = eng.wh.read(spark, "fetch_log").collect()
+    got = sorted((r["wave"], r["host"], r["depth"], r["seq"], r["url"]) for r in rows)
+    assert got == sorted(oracle.fetch_order)
+    seen = {r["url"] for r in eng.wh.read(spark, "seen").select("url").collect()}
+    assert seen == oracle.seen
+    # the cap-deferred remainder stays in the frontier, resumable — and
+    # matches the oracle's post-cap frontier exactly
+    got_frontier = sorted(
+        (r["url"], r["depth"], r["seq"])
+        for r in eng.wh.read(spark, "frontier", wave=len(stats)).collect()
+    )
+    want_frontier = sorted((u, d, s) for u, _, d, s in oracle.frontier)
+    assert got_frontier == want_frontier and len(got_frontier) > 0
+
+
 def test_bloom_modes_agree(spark, tmp_path):
     """bloom=off (pure anti-join), bloom=broadcast, and bloom=copartition
     (cogrouped shard-bits table — the 10^10-scale path) produce identical
