@@ -33,7 +33,7 @@ def main() -> None:
     budget = int(os.environ.get("RENDLER_BENCH_BUDGET", "48"))
 
     from rendler_spark.engine import CrawlEngine
-    from rendler_spark.queries import QUERIES
+    from rendler_spark.queries import ORACLE, QUERIES, TABLES
     from rendler_spark.session import get_spark
     from rendler_spark.synthweb import WebConfig
 
@@ -56,6 +56,28 @@ def main() -> None:
         t0 = time.monotonic()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         queries[name] = round(time.monotonic() - t0, 3)
+
+    # ---- DuckDB same-query wall times (engine-vs-engine ratio column; the
+    # reference publishes no numbers, so a mature single-node OLAP engine
+    # on the same parquet + same SQL is the concrete comparison point).
+    # Runs AFTER the Spark loop so neither engine's CPU use poisons the
+    # other's trials.  Queries with no ANSI oracle record null.
+    import duckdb
+
+    con = duckdb.connect()
+    for tname in TABLES:
+        con.sql(
+            f"CREATE VIEW {tname} AS SELECT * FROM '{sf_dir}/{tname}.parquet'"
+        )
+    duck: dict[str, float | None] = {}
+    for name in headline:
+        if name not in ORACLE:
+            duck[name] = None
+            continue
+        t0 = time.monotonic()
+        con.sql(ORACLE[name]).fetchall()  # materialize the full result
+        duck[name] = round(time.monotonic() - t0, 3)
+    con.close()
 
     # ---- crawl wave loop (the north-rule metric)
     cfg = WebConfig(
@@ -82,6 +104,7 @@ def main() -> None:
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
+        "duckdb": duck,
         "sf": float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0),
         "crawl": {
             "fetched_urls": fetched,

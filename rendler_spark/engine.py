@@ -27,13 +27,24 @@ Scale notes (designed for 10^10-URL frontiers, tested on local[32]):
 * frontier/seen/edges/images are wave-partitioned parquet — every wave's
   state is re-read from disk, so plan lineage never grows across waves and
   partition pruning confines reads to the waves named.
+* the seen table is additionally Hive-sub-partitioned by ``shard``; the
+  per-wave anti-join reads ONLY the shards the maybe-seen candidates name
+  (partition-pruned scan), and ``seen_compact_every`` folds old wave
+  partitions into one snapshot so the recurring read is one snapshot +
+  bounded deltas instead of O(waves) partitions (tests/test_seen_scale.py).
 * the two per-wave shuffles (host-salt window; url_hash dedup/anti-join)
-  are the only wide stages; the Bloom prefilter routes the overwhelmingly-
-  new candidate mass AROUND the anti-join (SURVEY.md §4.1).
-* `bloom_mode="broadcast"` ships shard bits to every executor (right while
-  total bits << executor memory); `"copartition"` cogroups candidates with
-  the shard-bits table on `shard` so each task holds exactly one shard —
-  the shuffle-hash-join-by-hash-prefix path from BASELINE.json:L6.
+  are the only wide stages; the Bloom/cuckoo prefilter routes the
+  overwhelmingly-new candidate mass AROUND the anti-join (SURVEY.md §4.1).
+* `bloom_mode="broadcast"` ships shard blobs to every executor (right
+  while total blob bytes << executor memory); `"copartition"` cogroups
+  candidates with the shard-blob table on `shard` so each task holds
+  exactly one shard — the shuffle-hash-join-by-hash-prefix path from
+  BASELINE.json:L6.  ``filter_kind`` picks Bloom bits or a cuckoo table
+  (deletion support) behind the same contract (operators/seenfilter.py).
+* ``seq`` lineage is a hex string (crawl_semantics rule 1) — exact BFS
+  order at any crawl depth; the int64 encoding wrapped at depth ~14.
+* ``max_render_tasks`` (rule 7) is the reference's global render cutoff:
+  a cumulative cap that splits the final wave deterministically.
 * image bytes never touch the driver; Arrow batch size is capped by the
   session conf (see rendler_spark.session.get_spark).
 """
