@@ -26,6 +26,25 @@ from pyspark.sql import DataFrame
 
 from rendler_spark.hashing import mix, splitmix64, to_i64
 
+#: UDF-stage task cap: >16 concurrent Python workers oversubscribes this
+#: sandbox (JVM threads + workers > vCPUs, documented in BENCH/BASELINE.md)
+_UDF_TASKS = 16
+
+
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Project + ensure the Arrow-UDF stage has enough partitions.
+
+    Single-file parquet inputs arrive as ONE partition, serializing the
+    whole signature build through one Python worker.  When the scan is
+    narrower than the available parallelism we pay one shuffle of the
+    projected columns to unlock it; at corpus scale inputs already carry
+    many partitions and this is a no-op (no shuffle added)."""
+    sel = df.select(*cols)
+    target = min(df.sparkSession.sparkContext.defaultParallelism, _UDF_TASKS)
+    if sel.rdd.getNumPartitions() < target:
+        sel = sel.repartition(target)
+    return sel
+
 
 # ------------------------------------------------------------ shingles
 
@@ -72,7 +91,7 @@ def minhash_signatures(
             ]
             yield pd.DataFrame({"id": pdf[id_col], "sig": sigs})
 
-    return df.select(id_col, text_col).mapInPandas(gen, "id long, sig array<long>")
+    return _spread(df, id_col, text_col).mapInPandas(gen, "id long, sig array<long>")
 
 
 def lsh_candidate_pairs(
@@ -135,8 +154,20 @@ def near_duplicates(
     k: int = 64,
     bands: int = 16,
 ) -> DataFrame:
-    """End-to-end MinHash+LSH near-dup: (id_a, id_b, jaccard_est >= thr)."""
-    sigs = minhash_signatures(df, id_col, text_col, k=k)
+    """End-to-end MinHash+LSH near-dup: (id_a, id_b, jaccard_est >= thr).
+
+    The signature frame is consumed three times (band explode + both
+    sides of the estimate lookup); without a cache Spark re-runs the
+    shingle+MinHash mapInPandas per consumer — the dominant CPU of this
+    operator.  We persist it (deserialized, spill-safe); a production
+    pipeline at corpus scale would materialize signatures to a table once
+    and reuse them across runs (the signature build is one scan either
+    way)."""
+    from pyspark.storagelevel import StorageLevel
+
+    sigs = minhash_signatures(df, id_col, text_col, k=k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pairs = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=k // bands)
     est = minhash_jaccard_estimate(sigs, pairs)
     return est.filter(F.col("jaccard_est") >= threshold)
@@ -168,7 +199,7 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 {"id": pdf[id_col], "simhash": simhash_batch(pdf[text_col])}
             )
 
-    return df.select(id_col, text_col).mapInPandas(gen, "id long, simhash long")
+    return _spread(df, id_col, text_col).mapInPandas(gen, "id long, simhash long")
 
 
 # ------------------------------------------------------------ cosine
@@ -250,7 +281,7 @@ def srp_signatures(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
+    return _spread(df, id_col, vec_col).mapInPandas(
         gen, f"id long, {vec_col} array<float>, sig long"
     )
 
@@ -324,7 +355,7 @@ def srp_signatures_multi(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
+    return _spread(df, id_col, vec_col).mapInPandas(
         gen, f"id long, {vec_col} array<float>, sig array<bigint>"
     )
 
