@@ -517,10 +517,12 @@ class CrawlEngine:
             fetch = sel
 
         # ---- fetch + render (Arrow UDF stage); upper-bound the fetch set
-        # by frontier size to pick the task count without a count job
+        # by frontier size (and the cap, when binding) to pick the task
+        # count without a count job
+        fetch_ub = n_frontier if remaining_cap is None else min(n_frontier, remaining_cap)
         nparts = max(
             1,
-            min(self.n_partitions, math.ceil(n_frontier / self.rows_per_fetch_task)),
+            min(self.n_partitions, math.ceil(fetch_ub / self.rows_per_fetch_task)),
         )
         obs_pages = Observation()
         pages = (
@@ -538,6 +540,8 @@ class CrawlEngine:
         if n_fetched == 0:  # budget can never defer ALL rows; 0 = done
             flagged.unpersist()
             pages.unpersist()
+            while self._wave_cache:
+                self._wave_cache.pop().unpersist()
             return None
         # fetch_log carries the packed links so the link pipeline re-reads
         # THIS small table instead of the bytes-heavy pages cache
