@@ -92,40 +92,86 @@ def canon_udf(base: pd.Series, href: pd.Series) -> pd.Series:
     return urlnorm.canonicalize(base, href)
 
 
+def _render_batch(cfg: synthweb.WebConfig, urls: pd.Series) -> dict:
+    """A2+H3+H4 fused kernel: fetch page, extract links, render image,
+    caption, phash for one batch of URLs.  The html string never leaves
+    the Python worker.  Returns plain arrays/lists (wrapper-agnostic)."""
+    hi, pj, _ = synthweb.parse_url(urls)
+    html = synthweb.page_html(cfg, hi, pj)
+    links = linkfns.extract_links(html)
+    caption = synthweb.page_caption(cfg, hi, pj)
+    w, h, fidx = synthweb.image_params(cfg, hi, pj)
+    fmts = [codecs.FORMATS[int(i)] for i in fidx]
+    blobs, phashes = [], []
+    for k in range(len(urls)):  # per-row loop; per-call work is a
+        px = synthweb.render_pixels(cfg, int(hi[k]), int(pj[k]))
+        blobs.append(codecs.encode(px, fmts[k]))  # vectorized numpy
+        phashes.append(codecs.phash(px))          # kernel per image
+    return {
+        "links": links.to_numpy(),
+        "bytes": blobs,
+        "w": w,
+        "h": h,
+        "fmt": fmts,
+        "caption": caption.to_numpy(),
+        "phash": np.array(phashes, dtype=np.int64),
+    }
+
+
 def make_fetch_render(cfg: synthweb.WebConfig):
-    """A2+H3+H4 fused: fetch page, extract links, render image, caption,
-    phash — one Arrow-batched mapInPandas stage; the html string never
-    leaves the Python worker."""
+    """mapInPandas wrapper around the fetch/render kernel."""
 
     def fetch_render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            hi, pj, _ = synthweb.parse_url(pdf["url"])
-            html = synthweb.page_html(cfg, hi, pj)
-            links = linkfns.extract_links(html)
-            caption = synthweb.page_caption(cfg, hi, pj)
-            w, h, fidx = synthweb.image_params(cfg, hi, pj)
-            fmts = [codecs.FORMATS[int(i)] for i in fidx]
-            blobs, phashes = [], []
-            for k in range(len(pdf)):  # per-row loop; per-call work is a
-                px = synthweb.render_pixels(cfg, int(hi[k]), int(pj[k]))
-                blobs.append(codecs.encode(px, fmts[k]))  # vectorized numpy
-                phashes.append(codecs.phash(px))          # kernel per image
+            out = _render_batch(cfg, pdf["url"])
             yield pd.DataFrame(
                 {
                     "url": pdf["url"].to_numpy(),
                     "host": pdf["host"].to_numpy(),
                     "depth": pdf["depth"].to_numpy(),
                     "seq": pdf["seq"].to_numpy(),
-                    "links": links.to_numpy(),
-                    "bytes": blobs,
-                    "w": w, "h": h,
-                    "fmt": fmts,
-                    "caption": caption.to_numpy(),
-                    "phash": np.array(phashes, dtype=np.int64),
+                    **out,
                 }
             )
+
+    return fetch_render
+
+
+def make_fetch_render_arrow(cfg: synthweb.WebConfig):
+    """mapInArrow wrapper (SURVEY §2J): the pass-through columns
+    (url/host/depth/seq) are re-emitted as the INPUT RecordBatch's own
+    arrays — zero copy, no pandas object-column round trip — and the
+    produced columns (image bytes etc.) go straight into Arrow arrays.
+    Semantics identical to the pandas wrapper (pinned by
+    tests/test_engine_equivalence.py::test_fetch_udf_modes_agree)."""
+    import pyarrow as pa
+
+    def fetch_render(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            urls = rb.column(rb.schema.get_field_index("url")).to_pandas()
+            out = _render_batch(cfg, urls)
+            arrays = [
+                rb.column(rb.schema.get_field_index("url")),
+                rb.column(rb.schema.get_field_index("host")),
+                rb.column(rb.schema.get_field_index("depth")),
+                rb.column(rb.schema.get_field_index("seq")),
+                pa.array(out["links"], type=pa.string()),
+                pa.array(out["bytes"], type=pa.binary()),
+                pa.array(out["w"], type=pa.int32()),
+                pa.array(out["h"], type=pa.int32()),
+                pa.array(out["fmt"], type=pa.string()),
+                pa.array(out["caption"], type=pa.string()),
+                pa.array(out["phash"], type=pa.int64()),
+            ]
+            names = [
+                "url", "host", "depth", "seq", "links", "bytes",
+                "w", "h", "fmt", "caption", "phash",
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return fetch_render
 
@@ -220,6 +266,8 @@ class CrawlEngine:
         rows_per_fetch_task: int = 64,
         seen_shard_partition: bool = True,  # Hive-sub-partition seen by shard
         seen_compact_every: int = 8,  # OR-merge seen waves every N (0 = off)
+        fetch_udf: str = "arrow",  # "arrow" (mapInArrow, zero-copy
+        # pass-through) or "pandas" (mapInPandas) — identical semantics
         seen_join_hint: str | None = None,  # None = let AQE choose (right
         # while the maybe-seen side is broadcastable); "shuffle_hash" pins
         # the C2 shuffle-hash-by-hash-prefix plan for 10^10-scale seen sets
@@ -249,6 +297,8 @@ class CrawlEngine:
         self.seen_join_hint = seen_join_hint
         self.seen_shard_partition = seen_shard_partition
         self.seen_compact_every = seen_compact_every
+        assert fetch_udf in ("arrow", "pandas"), fetch_udf
+        self.fetch_udf = fetch_udf
         self._seen_pby = ["shard"] if seen_shard_partition else None
         self._wave_cache: list[DataFrame] = []
         self._n_seen_shards_scanned: int | None = None
@@ -525,10 +575,15 @@ class CrawlEngine:
             min(self.n_partitions, math.ceil(fetch_ub / self.rows_per_fetch_task)),
         )
         obs_pages = Observation()
+        spread = fetch.repartition(nparts)
+        if self.fetch_udf == "arrow":
+            staged_pages = spread.mapInArrow(
+                make_fetch_render_arrow(self.cfg), PAGE_SCHEMA
+            )
+        else:
+            staged_pages = spread.mapInPandas(make_fetch_render(self.cfg), PAGE_SCHEMA)
         pages = (
-            fetch.repartition(nparts)
-            .mapInPandas(make_fetch_render(self.cfg), PAGE_SCHEMA)
-            .withColumn("part_id", F.spark_partition_id())
+            staged_pages.withColumn("part_id", F.spark_partition_id())
             .observe(obs_pages, F.count(F.lit(1)).alias("n_fetched"))
         ).persist(StorageLevel.MEMORY_AND_DISK)
 

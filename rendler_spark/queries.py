@@ -827,17 +827,51 @@ def q_dedup_exact(spark, sf):
        FROM documents""",
 )
 def q_lang_pred(spark, sf):
-    """Language-ID heuristic (marker-token scoring).  The synthetic corpus
+    """Language-ID heuristic (marker-token scoring) — driver-checks the
+    functions/text.lang_guess library builder.  The synthetic corpus
     shares one vocabulary across langs, so this demonstrates the operator
     mechanics; the heuristic itself is deterministic + SQL-expressible."""
+    from rendler_spark.functions import text as textfns
+
     d = t(spark, sf, "documents")
-    the_hits = F.length("text") - F.length(F.regexp_replace("text", " the ", ""))
-    return d.select(
-        "doc_id",
-        F.when(the_hits >= 10, "en_heavy")
-        .when(F.col("text").contains("spark"), "tech")
-        .otherwise("other")
-        .alias("lang_pred"),
+    return d.select("doc_id", textfns.lang_guess(F.col("text")))
+
+
+@q(
+    "q_doc_punct_ratio",
+    """SELECT doc_id,
+              (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                / greatest(length(text), 1) AS punct_ratio
+       FROM documents""",
+)
+def q_doc_punct_ratio(spark, sf):
+    """Punctuation-density quality signal (functions/text.punct_ratio).
+    No rounding: both engines compute identical IEEE doubles from the
+    same integer counts."""
+    from rendler_spark.functions import text as textfns
+
+    return t(spark, sf, "documents").select("doc_id", textfns.punct_ratio("text"))
+
+
+@q(
+    "q_doc_quality_score",
+    """SELECT doc_id,
+              (CASE WHEN len(regexp_split_to_array(text, '\\s+')) BETWEEN 10 AND 10000
+                    THEN 1.0 ELSE 0.3 END)
+              * (1.0 - least(((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                              / greatest(length(text), 1)) * 5, 1.0))
+              * (CASE WHEN CAST((length(text) - length(replace(text, 'the', ''))) / 3
+                          AS INTEGER) > 0 THEN 1.0 ELSE 0.7 END) AS quality
+       FROM documents""",
+)
+def q_doc_quality_score(spark, sf):
+    """Composite quality score (functions/text.quality_score): the corpus-
+    filtering heuristic a 100 TB pipeline runs before training — pure JVM
+    expressions, same plan properties as any scan+project."""
+    from rendler_spark.functions import text as textfns
+
+    return t(spark, sf, "documents").select(
+        "doc_id", textfns.quality_score("text")
     )
 
 

@@ -120,6 +120,21 @@ def test_export_graph(run, spark, tmp_path):
     assert dist == dot
 
 
+def test_fetch_udf_modes_agree(spark, tmp_path):
+    """mapInArrow and mapInPandas fetch stages must produce byte-identical
+    images tables (same kernel, different Arrow plumbing)."""
+    outs = {}
+    for mode in ("arrow", "pandas"):
+        e = CrawlEngine(spark, CFG, str(tmp_path / mode), fetch_udf=mode)
+        e.run(2)
+        outs[mode] = {
+            r["image_id"]: (bytes(r["bytes"]), r["w"], r["h"], r["fmt"],
+                            r["caption"], r["phash"])
+            for r in e.wh.read(spark, "images").collect()
+        }
+    assert outs["arrow"] == outs["pandas"] and len(outs["arrow"]) > 0
+
+
 def test_max_render_tasks_cap(spark, tmp_path):
     """B4: the reference's global render cutoff [upstream: python/rendler.py
     ~L120-135] as crawl_semantics rule 7 — a binding cumulative cap must
