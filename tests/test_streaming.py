@@ -53,3 +53,44 @@ def test_streaming_pipeline_runs(spark, events, tmp_path):
     q.awaitTermination(120)
     total = spark.sql("SELECT sum(n) FROM t_win").first()[0]
     assert total == 500
+
+
+def test_stateful_streaming_dedup_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState seen-set: first occurrences pass, repeats
+    are dropped, and state survives BETWEEN micro-batches (the second
+    file re-sends earlier URLs; maxFilesPerTrigger=1 forces 2 batches)."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from rendler_spark.streaming.stateful import streaming_seen_dedup
+
+    src = str(tmp_path / "disc_src")
+    batch1 = pd.DataFrame({"url": [f"http://h{i % 4}.test/p{i}" for i in range(20)]})
+    batch2 = pd.DataFrame(
+        {"url": [f"http://h{i % 4}.test/p{i}" for i in range(10, 30)]}  # 10 repeats
+    )
+    for i, pdf in enumerate((batch1, batch2)):
+        df = (
+            spark.createDataFrame(pdf)
+            .withColumn("url_hash", F.xxhash64("url"))
+            .withColumn("shard", F.pmod("url_hash", F.lit(4)).cast("int"))
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("url string, url_hash bigint, shard int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_seen_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [r["url"] for r in spark.sql("SELECT url FROM t_dedup").collect()]
+    assert sorted(got) == sorted(f"http://h{i % 4}.test/p{i}" for i in range(30))
+    assert len(got) == len(set(got))  # each URL exactly once, across batches
