@@ -576,6 +576,41 @@ def q_except(spark, sf):
     return c.exceptAll(o).distinct()
 
 
+@q(
+    "q_asof_join",
+    """WITH p AS (SELECT user_id, ts, max_by(value, event_id) AS last_purchase
+                  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+       SELECT e.event_id, e.user_id, p.last_purchase
+       FROM events e ASOF LEFT JOIN p
+         ON e.user_id = p.user_id AND p.ts <= e.ts""",
+)
+def q_asof_join(spark, sf):
+    """C7 (beyond-reference): as-of / point-in-time join — for every
+    event, the value of the same user's latest purchase at or before the
+    event's timestamp.  Spark has no native ASOF JOIN; operators/asof.py
+    composes it as union + keyed window (one shuffle, no range-join
+    explosion).  Oracle uses DuckDB's native ASOF LEFT JOIN — two utterly
+    different implementations, same rows.  The right side is deduped per
+    (user, ts) via max_by(event_id) so the match is well-defined."""
+    from rendler_spark.operators.asof import asof_join
+
+    e = t(spark, sf, "events")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.struct("event_id", "value")).alias("m"))
+        .select("user_id", "ts", F.col("m.value").alias("last_purchase"))
+    )
+    return asof_join(
+        e.select("event_id", "user_id", "ts"),
+        p,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["last_purchase"],
+    ).select("event_id", "user_id", "last_purchase")
+
+
 # ======================================================= scalar functions
 
 @q(
