@@ -1,0 +1,173 @@
+"""Iterative graph operators over the crawl's edge tables.
+
+A crawl produces a web graph (edges table) and the dedup layer produces
+near-duplicate PAIRS; turning pairs into canonical groups ("keep one doc
+per duplicate cluster") is connected components, and ranking crawled pages
+is PageRank.  Spark has no native iterative-graph operator — both are
+driver-side loops over DataFrame joins, the standard Spark-first pattern:
+
+* each iteration is 1-2 shuffles (join on src/dst + min/sum aggregate);
+* each iteration ends in an EAGER localCheckpoint: persist alone is NOT
+  enough for iterative DataFrames — the logical plan still nests one
+  level per iteration and Catalyst re-analysis of the growing tree blows
+  up super-linearly (measured here: iter 4 took 91 s on 210 rows without
+  truncation).  localCheckpoint cuts both logical and physical lineage;
+* convergence is a scalar aggregate (no row collect); iteration count is
+  O(component diameter) for components, fixed for PageRank.
+
+At 10^10 edges each iteration is a standard shuffle-sized job; the
+pattern is exactly large-scale GraphX/GraphFrames practice re-expressed
+in plain DataFrames.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    """Symmetrize (src,dst) int64 edges, drop self-loops."""
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    return e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def _large_star(E: DataFrame) -> DataFrame:
+    """Large-star: every node u links its strictly-larger neighbors to
+    the minimum of its closed neighborhood."""
+    S = _undirected(E)
+    m = (
+        S.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("src", F.col("mn")).alias("m"))
+    )
+    return (
+        S.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(E: DataFrame) -> DataFrame:
+    """Small-star: orient edges (big, small); every node links itself and
+    its smaller neighbors to the minimum of that set."""
+    O = (
+        E.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    m = O.groupBy("src").agg(F.min("dst").alias("m"))
+    j = O.join(m, "src")
+    return (
+        j.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .unionByName(j.select("src", F.col("m").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """(node, component) where component = smallest node id reachable.
+
+    Two-phase star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond" — the GraphFrames algorithm): alternate
+    large-star / small-star edge rewrites until the edge set is a union
+    of stars.  O(log^2 n) rounds on ANY topology — a naive min-label
+    propagation needs O(diameter) rounds and took 50+ on a 211-node
+    permutation cycle where this takes 7.  Deterministic integers —
+    exact-oracle comparable (the driver checks it against a DuckDB
+    recursive-CTE transitive closure)."""
+    E = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        E2 = _small_star(_large_star(E)).localCheckpoint(eager=True)
+        # convergence = identical edge multiset (two anti-join probes)
+        changed = (
+            E2.exceptAll(E).limit(1).count() + E.exceptAll(E2).limit(1).count()
+        )
+        E = E2
+        if changed == 0:
+            break
+    centers = E.select(F.col("dst").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return (
+        E.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+        .unionByName(centers)
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def dedup_clusters(pairs: DataFrame, docs: DataFrame, id_col: str) -> DataFrame:
+    """Near-dup pairs -> canonical clusters: every doc mapped to the
+    smallest doc id of its duplicate group (docs with no pair map to
+    themselves).  The 'keep one per cluster' filter is then
+    ``canonical == id``."""
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(edges)
+    return (
+        docs.select(F.col(id_col).alias("node"))
+        .join(comp, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component", "node").alias("canonical"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame, n_iter: int = 10, damping: float = 0.85
+) -> DataFrame:
+    """Classic power-iteration PageRank over a directed edge list:
+    (node, rank).  Dangling mass is redistributed uniformly each step so
+    ranks sum to n (the standard formulation GraphX uses is the
+    non-normalized variant; we keep sum == n_nodes for testability).
+    Float sums shuffle-order-dependent in the last ulp -> verified with
+    allclose against a numpy reference, registered rows-only with the
+    driver."""
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    degree = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(n_iter):
+        contrib = (
+            e.join(degree, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c")
+            )
+        )
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
+        # dangling nodes (no out-edges) leak their rank; redistribute it
+        dangling = (
+            ranks.join(degree.withColumnRenamed("src", "node"), "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        base = (1.0 - damping) + damping * dangling / n_nodes
+        ranks = (
+            nodes.join(inflow, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)  # truncate lineage EVERY iteration
+        )
+    return ranks

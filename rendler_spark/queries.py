@@ -729,6 +729,52 @@ def q_array_fns(spark, sf):
     )
 
 
+def _graph_edges(spark, sf):
+    """Deterministic 211-node test graph derived from events (both the
+    Spark query and the DuckDB oracle derive the SAME edges, so the
+    driver check exercises the graph OPERATOR, not data plumbing)."""
+    e = t(spark, sf, "events")
+    return e.select(
+        (F.col("event_id") % 211).alias("src"),
+        ((F.col("event_id") * 7 + 3) % 211).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+
+
+@q(
+    "q_connected_components",
+    """WITH RECURSIVE
+         edges AS (SELECT event_id % 211 AS src, (event_id*7+3) % 211 AS dst
+                   FROM events WHERE event_id % 211 != (event_id*7+3) % 211),
+         und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+         r(node, lbl) AS (
+           SELECT src, src FROM und
+           UNION
+           SELECT u.dst, r.lbl FROM r JOIN und u ON u.src = r.node
+         )
+       SELECT node, min(lbl) AS component FROM r GROUP BY node""",
+)
+def q_connected_components(spark, sf):
+    """Iterative graph algorithm with an EXACT oracle: min-label
+    propagation (operators/components.py — driver-side loop, 2 shuffles
+    per iteration, lineage bounded by localCheckpoint) vs DuckDB's
+    recursive-CTE transitive closure.  Labels are integers, so the
+    comparison is exact despite completely different execution."""
+    from rendler_spark.operators.components import connected_components
+
+    return connected_components(_graph_edges(spark, sf))
+
+
+@q("q_pagerank")  # rows-only: float ranks are shuffle-order-dependent in
+# the last ulp; exactness is pinned vs a numpy reference in pytest instead
+def q_pagerank(spark, sf):
+    """PageRank over the derived event graph (8 power iterations,
+    dangling-mass redistribution) — the 'rank crawled pages' query a
+    crawl corpus feeds."""
+    from rendler_spark.operators.components import pagerank
+
+    return pagerank(_graph_edges(spark, sf), n_iter=8)
+
+
 # ======================================================= streaming-shaped
 
 @q(
