@@ -729,6 +729,37 @@ def q_array_fns(spark, sf):
     )
 
 
+@q(
+    "q_range_join",
+    """WITH bands AS (SELECT i AS band_id, i * 75000.0 AS lo,
+                             (i + 1) * 75000.0 AS hi FROM range(8) t(i))
+       SELECT b.band_id, count(*) AS n
+       FROM orders o JOIN bands b
+         ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+       GROUP BY b.band_id""",
+)
+def q_range_join(spark, sf):
+    """C7-family (beyond-reference): interval/range join — orders bucketed
+    into price bands.  The oracle runs DuckDB's native non-equi join; the
+    Spark side uses operators/rangejoin.py's bucketized equi-join (25k
+    buckets exploded per 75k band -> hash join + exact re-filter), the
+    plan that survives millions of intervals where a nested-loop join
+    cannot."""
+    from rendler_spark.operators.rangejoin import range_join
+
+    bands = spark.range(8).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 75000.0).alias("lo"),
+        ((F.col("id") + 1) * 75000.0).alias("hi"),
+    )
+    o = t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    return (
+        range_join(o, "o_totalprice", bands, bucket_width=25000.0)
+        .groupBy("band_id")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def _graph_edges(spark, sf):
     """Deterministic 211-node test graph derived from events (both the
     Spark query and the DuckDB oracle derive the SAME edges, so the

@@ -32,3 +32,25 @@ def test_asof_join_matches_reference(spark):
     assert got[0] == 100.0   # boundary: rts == lts is inclusive
     assert got[3] is None    # key present, no prior right row
     assert got[5] is None    # key absent from right
+
+
+def test_range_join_boundaries(spark):
+    """lo inclusive, hi exclusive; values covered by no interval drop;
+    overlapping intervals multiply-match."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from rendler_spark.operators.rangejoin import range_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2, 3, 4], "v": [0.0, 10.0, 15.0, 99.0]})
+    )
+    iv = spark.createDataFrame(
+        pd.DataFrame({"band": ["a", "b", "c"],
+                      "lo": [0.0, 10.0, 12.0], "hi": [10.0, 20.0, 30.0]})
+    )
+    got = sorted(
+        (r["id"], r["band"])
+        for r in range_join(left, "v", iv, bucket_width=7.0).collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "b"), (3, "c")]

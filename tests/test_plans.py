@@ -85,3 +85,12 @@ def test_wholestage_codegen_spans(spark):
 def test_limits_are_limits(spark, name):
     s = _explain(spark, name)
     assert "TakeOrderedAndProject" in s or "GlobalLimit" in s
+
+
+def test_range_join_avoids_nested_loop(spark):
+    """The bucketized range join must plan as a hash equi-join; a naive
+    non-equi condition would be a BroadcastNestedLoopJoin (quadratic)."""
+    s = _explain(spark, "q_range_join")
+    assert "BroadcastNestedLoopJoin" not in s
+    assert ("BroadcastHashJoin" in s or "ShuffledHashJoin" in s
+            or "SortMergeJoin" in s)
