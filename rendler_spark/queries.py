@@ -577,6 +577,44 @@ def q_except(spark, sf):
 
 
 @q(
+    "q_curation_pipeline",
+    """WITH scored AS (
+         SELECT doc_id, text,
+                (CASE WHEN len(regexp_split_to_array(text, '\\s+'))
+                           BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.3 END)
+                * (1.0 - least(((length(text)
+                                 - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                                / greatest(length(text), 1)) * 5, 1.0))
+                * (CASE WHEN CAST((length(text) - length(replace(text, 'the', '')))
+                             / 3 AS INTEGER) > 0 THEN 1.0 ELSE 0.7 END) AS quality,
+                md5(text) AS fp
+         FROM documents),
+       winners AS (SELECT fp, min(doc_id) AS keep_id FROM scored GROUP BY fp)
+       SELECT s.doc_id, s.fp, s.quality
+       FROM scored s JOIN winners w ON s.fp = w.fp AND s.doc_id = w.keep_id
+       WHERE s.quality >= 0.5""",
+)
+def q_curation_pipeline(spark, sf):
+    """The 100 TB training-data curation pipeline as ONE declarative
+    query: quality-score every document (functions/text.quality_score),
+    exact-dedup by content fingerprint keeping the smallest doc_id, gate
+    on quality — survivors are the training corpus.  Composition of
+    already-verified operators; Catalyst fuses the scoring into the scan
+    and the dedup is one hash shuffle."""
+    from rendler_spark.functions import text as textfns
+
+    d = t(spark, sf, "documents").select(
+        "doc_id", textfns.quality_score("text"), textfns.fingerprint("text")
+    )
+    w = Window.partitionBy("fp")
+    return (
+        d.withColumn("keep_id", F.min("doc_id").over(w))
+        .filter((F.col("doc_id") == F.col("keep_id")) & (F.col("quality") >= 0.5))
+        .select("doc_id", "fp", "quality")
+    )
+
+
+@q(
     "q_asof_join",
     """WITH p AS (SELECT user_id, ts, max_by(value, event_id) AS last_purchase
                   FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
