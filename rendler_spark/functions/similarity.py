@@ -173,6 +173,55 @@ def near_duplicates(
     return est.filter(F.col("jaccard_est") >= threshold)
 
 
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Exploded distinct shingle hashes: (id, shingle) — one row per
+    unique word-n-gram per document (same hashing as the MinHash path)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, shs = [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                h = _shingle_hashes(txt, n)
+                ids.extend([i] * len(h))
+                shs.extend(to_i64(h).tolist())
+            yield pd.DataFrame({"id": ids, "shingle": shs})
+
+    return _spread(df, id_col, text_col).mapInPandas(gen, "id long, shingle long")
+
+
+def exact_jaccard(
+    df: DataFrame, id_col: str, text_col: str, pairs: DataFrame, n: int = 3
+) -> DataFrame:
+    """EXACT n-gram Jaccard for given candidate pairs (id_a, id_b) —
+    the verification step behind the MinHash ESTIMATE: intersection size
+    via a shingle equi-join restricted to the pairs, union by
+    inclusion-exclusion.  Cost is proportional to the candidate pairs'
+    shingles, never all-pairs; the LSH bucketing supplies the pairs."""
+    S = shingle_rows(df, id_col, text_col, n).persist()
+    sizes = S.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        pairs.join(S.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(S.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return out
+
+
 # ------------------------------------------------------------ simhash
 
 

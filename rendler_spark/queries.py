@@ -1098,6 +1098,17 @@ def q_minhash_pairs(spark, sf):
     return similarity.near_duplicates(d, "doc_id", "text", threshold=0.2)
 
 
+@q("q_ngram_jaccard")  # rows-only: shingle hashing isn't SQL-reproducible
+def q_ngram_jaccard(spark, sf):
+    """Exact n-gram Jaccard over LSH candidate pairs — the dedup
+    ESTIMATE's verification operator (pytest pins it against numpy set
+    Jaccard; cost scales with candidate pairs, never all-pairs)."""
+    d = t(spark, sf, "documents")
+    sigs = similarity.minhash_signatures(d, "doc_id", "text")
+    pairs = similarity.lsh_candidate_pairs(sigs)
+    return similarity.exact_jaccard(d, "doc_id", "text", pairs)
+
+
 @q("q_simhash")  # rows-only
 def q_simhash(spark, sf):
     """64-bit SimHash per document (vectorized mapInPandas)."""

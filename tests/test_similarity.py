@@ -149,3 +149,30 @@ def test_cosine_topk(spark):
         df.filter(F.col("vec_id") != 0), "vec_id", "embedding", vecs[0].tolist(), k=3
     ).collect()
     assert top[0]["vec_id"] == 7 and top[0]["cos"] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_exact_jaccard_matches_numpy_and_bounds_estimate(spark, docs):
+    """exact_jaccard == set-based numpy Jaccard; the MinHash estimate on
+    the same pairs stays within its statistical tolerance of the truth."""
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in S.exact_jaccard(docs, "doc_id", "text", pairs).collect()
+    }
+    for a, b in ((0, 1), (0, 2), (0, 3)):
+        sa, sb = S._shingle_hashes(DOCS[a][1]), S._shingle_hashes(DOCS[b][1])
+        true_j = len(np.intersect1d(sa, sb)) / len(np.union1d(sa, sb))
+        assert got[(a, b)] == pytest.approx(true_j, abs=1e-12)
+    assert got[(0, 3)] == 1.0  # identical docs
+    # estimate-vs-exact: near_duplicates' jaccard_est within tolerance
+    est = {
+        (r["id_a"], r["id_b"]): r["jaccard_est"]
+        for r in S.near_duplicates(docs, "doc_id", "text", threshold=0.0).collect()
+    }
+    for pair, e in est.items():
+        a, b = pair
+        sa, sb = S._shingle_hashes(DOCS[a][1]), S._shingle_hashes(DOCS[b][1])
+        true_j = len(np.intersect1d(sa, sb)) / len(np.union1d(sa, sb))
+        assert abs(e - true_j) < 0.2, (pair, e, true_j)
