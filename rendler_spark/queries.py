@@ -683,7 +683,7 @@ def q_string_fns(spark, sf):
 
 @q(
     "q_math_fns",
-    """SELECT l_orderkey, l_linenumber, abs(-l_discount) AS a,
+    """SELECT l_orderkey, l_linenumber, abs(-l_discount) + 0.0 AS a,
               CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS r,
               round(sqrt(l_quantity), 4) AS sq,
               CAST(floor(CAST(l_tax AS DECIMAL(18,4)) * 100) AS BIGINT) AS fl,
@@ -699,12 +699,18 @@ def q_math_fns(spark, sf):
     digits so the cast is exact; Spark's round-on-double rounds the
     shortest decimal string HALF_UP while DuckDB rounds the binary value,
     and x.x5 ties land on opposite sides — 6,013 rows at sf0.01).
-    sqrt/log outputs are irrational, so round(4) is boundary-safe."""
+    sqrt/log outputs are irrational, so round(4) is boundary-safe.
+
+    abs() is signed-zero-normalized with `+ 0.0` on BOTH sides: Spark's
+    abs(-0.0) returns +0.0 while DuckDB's abs (`x < 0 ? -x : x`) passes
+    -0.0 through — equal under ==, different under the driver's bitwise
+    value hash (2,941 zero-discount rows at sf0.01).  IEEE -0.0 + 0.0 =
+    +0.0 collapses both to one representation."""
     li = t(spark, sf, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.abs(-F.col("l_discount")).alias("a"),
+        (F.abs(-F.col("l_discount")) + F.lit(0.0)).alias("a"),
         F.round(F.col("l_extendedprice").cast("decimal(18,2)"), 1)
         .cast("double")
         .alias("r"),
