@@ -314,7 +314,10 @@ def srp_signatures(
     One Arrow-batched matmul per batch — the signature build is a single
     pass over the corpus and the signature column is 8 bytes/row, so the
     index 'build' costs one scan at any corpus size."""
+    schema = f"id long, {vec_col} array<float>, sig long"
     dim_row = df.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:  # empty input: no dimension to infer, no rows out
+        return df.sparkSession.createDataFrame([], schema)
     planes = _srp_planes(int(dim_row["d"]), n_planes, seed)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -330,9 +333,7 @@ def srp_signatures(
                 }
             )
 
-    return _spread(df, id_col, vec_col).mapInPandas(
-        gen, f"id long, {vec_col} array<float>, sig long"
-    )
+    return _spread(df, id_col, vec_col).mapInPandas(gen, schema)
 
 
 def srp_topk(
@@ -387,7 +388,10 @@ def srp_signatures_multi(
     one-matmul-per-Arrow-batch build as ``srp_signatures``; the signature
     column is ``n_planes/8`` bytes/row regardless of vector dim."""
     assert n_planes % 64 == 0
+    schema = f"id long, {vec_col} array<float>, sig array<bigint>"
     dim_row = df.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:  # empty input: no dimension to infer, no rows out
+        return df.sparkSession.createDataFrame([], schema)
     planes = _srp_planes(int(dim_row["d"]), n_planes, seed)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -404,9 +408,7 @@ def srp_signatures_multi(
                 }
             )
 
-    return _spread(df, id_col, vec_col).mapInPandas(
-        gen, f"id long, {vec_col} array<float>, sig array<bigint>"
-    )
+    return _spread(df, id_col, vec_col).mapInPandas(gen, schema)
 
 
 def embedding_near_duplicates(

@@ -8,10 +8,15 @@ case (a): a composition of existing operators, not a UDF —
 
     union(left tagged 1, right tagged 0)
     -> window per key ordered by (ts, tag):   1 shuffle, no join at all
-       last(value, ignorenulls=True) over rows UNBOUNDED PRECEDING..CURRENT
-    -> keep left rows: each now carries the latest right value with
+       last(struct(values), ignorenulls=True) over rows UNBOUNDED
+       PRECEDING..CURRENT — the ROW struct is non-null for every right
+       row even when its value fields are NULL, so a matched row's NULL
+       survives (last(value_col) directly would skip back to an older
+       non-null value, diverging from DuckDB ASOF semantics)
+    -> keep left rows: each now carries the latest right row with
        right_ts <= left_ts (right sorts before left at equal ts, so the
-       boundary is inclusive, matching ASOF semantics).
+       boundary is inclusive, matching ASOF semantics); extract the
+       struct fields last.
 
 Scale shape: ONE hash-partition shuffle on the key + a per-partition sort —
 the same cost class as the politeness window; no broadcast, no range join
@@ -34,30 +39,35 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
 ) -> DataFrame:
-    """Left as-of join: every left row + the latest right ``value_cols``
-    whose ``right_ts`` <= ``left_ts`` within the same ``key`` (null when
-    no prior right row exists)."""
+    """Left as-of join: every left row + the ``value_cols`` of the latest
+    right row whose ``right_ts`` <= ``left_ts`` within the same ``key``
+    (all null when no prior right row exists; a matched row's own NULL
+    value stays NULL)."""
     lcols = left.columns
-    l_tag = left.withColumn("_ts", F.col(left_ts)).withColumn(
-        "_tag", F.lit(1).cast("int")
-    )
-    for c in value_cols:
-        l_tag = l_tag.withColumn(c, F.lit(None))
+    ltypes = {f.name: f.dataType for f in left.schema.fields}
     r_tag = right.select(
-        key, F.col(right_ts).alias("_ts"), *value_cols
-    ).withColumn("_tag", F.lit(0).cast("int"))
-    for c in lcols:
-        if c not in (key,):
-            r_tag = r_tag.withColumn(c, F.lit(None))
-    unioned = l_tag.select(key, "_ts", "_tag", *value_cols, *[c for c in lcols if c != key]).unionByName(
-        r_tag.select(key, "_ts", "_tag", *value_cols, *[c for c in lcols if c != key])
+        key,
+        F.col(right_ts).alias("_ts"),
+        F.struct(*value_cols).alias("_rv"),
+        F.lit(0).cast("int").alias("_tag"),
     )
+    rv_type = r_tag.schema["_rv"].dataType
+    l_tag = (
+        left.withColumn("_ts", F.col(left_ts))
+        .withColumn("_tag", F.lit(1).cast("int"))
+        .withColumn("_rv", F.lit(None).cast(rv_type))
+    )
+    for c in lcols:
+        if c != key:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(ltypes[c]))
+    cols = [key, "_ts", "_tag", "_rv", *[c for c in lcols if c != key]]
+    unioned = l_tag.select(*cols).unionByName(r_tag.select(*cols))
     w = (
         Window.partitionBy(key)
         .orderBy("_ts", "_tag")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned
-    for c in value_cols:
-        carried = carried.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return carried.filter(F.col("_tag") == 1).select(*lcols, *value_cols)
+    carried = unioned.withColumn("_rv", F.last("_rv", ignorenulls=True).over(w))
+    return carried.filter(F.col("_tag") == 1).select(
+        *lcols, *[F.col("_rv").getField(c).alias(c) for c in value_cols]
+    )

@@ -176,3 +176,21 @@ def test_exact_jaccard_matches_numpy_and_bounds_estimate(spark, docs):
         sa, sb = S._shingle_hashes(DOCS[a][1]), S._shingle_hashes(DOCS[b][1])
         true_j = len(np.intersect1d(sa, sb)) / len(np.union1d(sa, sb))
         assert abs(e - true_j) < 0.2, (pair, e, true_j)
+
+
+def test_srp_signatures_empty_input(spark):
+    """Empty input short-circuits to an empty frame with the output schema
+    (dimension inference via first() has no row to read)."""
+    import pyspark.sql.types as T
+
+    empty = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ])
+    )
+    s1 = S.srp_signatures(empty, "vec_id", "embedding")
+    s2 = S.srp_signatures_multi(empty, "vec_id", "embedding")
+    assert s1.count() == 0 and s2.count() == 0
+    assert [f.name for f in s1.schema.fields] == ["id", "embedding", "sig"]
+    assert [f.name for f in s2.schema.fields] == ["id", "embedding", "sig"]

@@ -55,10 +55,14 @@ def test_streaming_pipeline_runs(spark, events, tmp_path):
     assert total == 500
 
 
-def test_stateful_streaming_dedup_across_microbatches(spark, tmp_path):
+@pytest.mark.parametrize("mode,kind", [("exact", None), ("blob", "bloom"), ("blob", "cuckoo")])
+def test_stateful_streaming_dedup_across_microbatches(spark, tmp_path, mode, kind):
     """applyInPandasWithState seen-set: first occurrences pass, repeats
     are dropped, and state survives BETWEEN micro-batches (the second
-    file re-sends earlier URLs; maxFilesPerTrigger=1 forces 2 batches)."""
+    file re-sends earlier URLs; maxFilesPerTrigger=1 forces 2 batches).
+    Covers both state shapes: exact URL-string sets and the bounded
+    Bloom/cuckoo blob (production form; no FP at this tiny cardinality,
+    so the output must be identical)."""
     import pandas as pd
     import pyspark.sql.functions as F
 
@@ -81,16 +85,21 @@ def test_stateful_streaming_dedup_across_microbatches(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = (
+    deduped = (
         streaming_seen_dedup(stream)
-        .writeStream.format("memory")
-        .queryName("t_dedup")
+        if mode == "exact"
+        else streaming_seen_dedup(stream, mode="blob", kind=kind)
+    )
+    sink = f"t_dedup_{mode}_{kind}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(180)
-    got = [r["url"] for r in spark.sql("SELECT url FROM t_dedup").collect()]
+    got = [r["url"] for r in spark.sql(f"SELECT url FROM {sink}").collect()]
     assert sorted(got) == sorted(f"http://h{i % 4}.test/p{i}" for i in range(30))
     assert len(got) == len(set(got))  # each URL exactly once, across batches
