@@ -433,7 +433,19 @@ def embedding_near_duplicates(
     pigeonhole, every pair within Hamming distance < n_bands shares at
     least one band.  A JVM popcount filter (``max_hamming``, auto-derived
     from the threshold's expected SRP Hamming distance + 3 sigma when not
-    given) prunes candidates before the vector math touches floats."""
+    given) prunes candidates before the vector math touches floats.
+
+    Shuffle discipline: ONLY (id, band, key) — 20 bytes/row — rides the
+    band explode and self-join; signatures and full vectors are joined
+    back AFTER ``dropDuplicates`` on the surviving unique pairs (exactly
+    how ``lsh_candidate_pairs``/``minhash_jaccard_estimate`` split
+    candidate generation from verification).  Carrying the vectors
+    through the explode would multiply vector bytes x n_bands in the
+    shuffle — the r2 plan paid ~8x vector volume for nothing.  The
+    signature frame feeds 3 consumers (explode + both verify sides), so
+    it is persisted for the operator's lifetime."""
+    from pyspark.storagelevel import StorageLevel
+
     assert n_planes % band_bits == 0 and band_bits <= 32
     n_bands = n_planes // band_bits
     if max_hamming is None:
@@ -441,7 +453,9 @@ def embedding_near_duplicates(
         # bound); allow +3 sigma of the binomial so true pairs survive
         p = float(np.arccos(min(max(threshold, -1.0), 0.999999)) / np.pi)
         max_hamming = int(np.ceil(n_planes * p + 3 * np.sqrt(n_planes * p * (1 - p))))
-    sigs = srp_signatures_multi(df, id_col, vec_col, n_planes, seed)
+    sigs = srp_signatures_multi(df, id_col, vec_col, n_planes, seed).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     mask = (1 << band_bits) - 1
     per_word = 64 // band_bits
     bands = F.array(
@@ -458,28 +472,32 @@ def embedding_near_duplicates(
             for i in range(n_bands)
         ]
     )
-    exploded = sigs.select(
-        "id", F.col(vec_col).alias("vec"), "sig", F.explode(bands).alias("bk")
-    ).select("id", "vec", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = exploded.select(
-        F.col("id").alias("id_a"), F.col("vec").alias("va"),
-        F.col("sig").alias("sig_a"), "band", "key",
+    keys = sigs.select("id", F.explode(bands).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    b = exploded.select(
-        F.col("id").alias("id_b"), F.col("vec").alias("vb"),
-        F.col("sig").alias("sig_b"), "band", "key",
+    cand = (
+        keys.select(F.col("id").alias("id_a"), "band", "key")
+        .join(keys.select(F.col("id").alias("id_b"), "band", "key"), ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sigs.select(
+        F.col("id").alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("sig").alias("sig_a"),
+    )
+    sb = sigs.select(
+        F.col("id").alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("sig").alias("sig_b"),
     )
     ham = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    cand = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .filter(ham <= max_hamming)
-    )
+    verified = cand.join(sa, "id_a").join(sb, "id_b").filter(ham <= max_hamming)
     prod = F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double"))
     dot = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
     sq = lambda c: F.aggregate(  # noqa: E731
@@ -489,7 +507,7 @@ def embedding_near_duplicates(
     )
     cos = dot / (F.sqrt(sq(F.col("va"))) * F.sqrt(sq(F.col("vb"))))
     return (
-        cand.withColumn("cos", F.round(cos, 4))
+        verified.withColumn("cos", F.round(cos, 4))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

@@ -94,3 +94,44 @@ def test_range_join_avoids_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in s
     assert ("BroadcastHashJoin" in s or "ShuffledHashJoin" in s
             or "SortMergeJoin" in s)
+
+
+def test_embed_neardup_band_join_carries_no_vectors(spark):
+    """The band self-join of embedding_near_duplicates must shuffle only
+    (id, band, key) — full vectors and multi-word signatures are joined
+    back AFTER pair dedup.  r2 carried both through the x8 band explode
+    (~8x vector bytes of shuffle volume); this pins the slim plan: no
+    exchange below the self-join materializes the embedding column."""
+    import numpy as np
+    import pandas as pd
+
+    from rendler_spark.functions import similarity as S
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(64, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(64), "embedding": [v.tolist() for v in vecs]})
+    )
+    out = S.embedding_near_duplicates(df, "vec_id", "embedding", threshold=0.9)
+    s = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # Every Exchange/BroadcastExchange whose Input carries the band
+    # column feeds the candidate self-join; all must be vector- AND
+    # signature-free (3 slim columns: id, band, key).  Strategy-agnostic:
+    # at broadcast size the join plans as BroadcastExchange, at scale as
+    # hashpartitioning — either way the Input list is what ships.
+    exchange_blocks = [
+        blk
+        for blk in s.split("\n\n")
+        if blk.startswith("(") and "Exchange" in blk.splitlines()[0]
+    ]
+    band_exchanges = [blk for blk in exchange_blocks if "band#" in blk]
+    assert band_exchanges, "expected exchanges carrying the band key"
+    for blk in band_exchanges:
+        assert (
+            "embedding" not in blk
+            and "va#" not in blk
+            and "vb#" not in blk
+            and "sig" not in blk
+        ), blk
