@@ -25,6 +25,45 @@ import tempfile
 import time
 
 
+def _hw_work(n: int) -> int:
+    """Pure-CPU allocation-free numpy kernel (same as BENCH/scaling.py's
+    hw-ceiling probe; module-level so it pickles into worker processes)."""
+    import numpy as _np
+
+    x = _np.arange(19200, dtype=_np.int32)
+    tmp = _np.empty_like(x)
+    for i in range(n):
+        _np.multiply(x, 31, out=tmp)
+        _np.add(tmp, i, out=tmp)
+        _np.bitwise_and(tmp, 255, out=x)
+    return n
+
+
+def hw_ceiling_anchor(nproc: int = 16, rounds: int = 60_000) -> dict:
+    """Host-quality anchor emitted WITH every bench artifact, so
+    cross-round comparisons stop depending on builder-side narrative:
+    this sandbox's shared-host/gVisor wall clock varies 1.4-1.8x between
+    runs (see BENCH/BASELINE.md "Environment variance note"), and the
+    r1->r2 driver artifacts looked like a uniform regression that was
+    actually host weather.  Reports kernel-rounds/sec for 1 process and
+    for ``nproc`` processes; to compare two rounds' seconds, normalize by
+    the ratio of their anchors."""
+    from multiprocessing import Pool
+
+    t0 = time.monotonic()
+    _hw_work(rounds)
+    single = rounds / (time.monotonic() - t0)
+    t0 = time.monotonic()
+    with Pool(nproc) as p:
+        p.map(_hw_work, [rounds] * nproc)
+    pooled = nproc * rounds / (time.monotonic() - t0)
+    return {
+        "single_rps": round(single, 1),
+        f"pool{nproc}_rps": round(pooled, 1),
+        "pool_n": nproc,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -36,6 +75,8 @@ def main() -> None:
     from rendler_spark.queries import ORACLE, QUERIES, TABLES
     from rendler_spark.session import get_spark
     from rendler_spark.synthweb import WebConfig
+
+    ceiling = hw_ceiling_anchor()
 
     spark = get_spark(f"local[{cpus}]", "rendler_bench", shuffle_partitions=cpus)
 
@@ -99,12 +140,46 @@ def main() -> None:
     fetched = sum(s["n_fetched"] for s in stats)
     queries["crawl_wave_loop"] = round(crawl_sec, 3)
 
+    # ---- sf1.0-equivalent point (10x sf0.1, derived deterministically —
+    # tools/make_sf1.py unions 10 key-shifted copies; no external data).
+    # Tracks the Spark-vs-DuckDB gap trend as sf grows; a handful of
+    # representative queries to bound bench wall time.  Disable with
+    # SPARK_GRAFT_SF1=0.
+    sf1: dict = {}
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf_dir.rstrip("/").endswith(
+        "sf0.1"
+    ):
+        from tools.make_sf1 import ensure_sf1
+
+        sf1_dir = ensure_sf1(sf_dir)
+        for name in ("q_groupby_agg", "q_shuffle_join", "q_order_by",
+                     "q_tumbling_window"):
+            t0 = time.monotonic()
+            QUERIES[name](spark, sf1_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            sf1[name] = round(time.monotonic() - t0, 3)
+        con1 = duckdb.connect()
+        for tname in TABLES:
+            con1.sql(
+                f"CREATE VIEW {tname} AS SELECT * FROM '{sf1_dir}/{tname}.parquet'"
+            )
+        sf1_duck = {}
+        for name in sf1:
+            t0 = time.monotonic()
+            con1.sql(ORACLE[name]).fetchall()
+            sf1_duck[name] = round(time.monotonic() - t0, 3)
+        con1.close()
+        sf1 = {"queries": sf1, "duckdb": sf1_duck, "sf": 1.0}
+
     out = {
         "metric": "headline_total",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
         "duckdb": duck,
+        "ceiling": ceiling,
+        "sf1": sf1,
         "sf": float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0),
         "crawl": {
             "fetched_urls": fetched,

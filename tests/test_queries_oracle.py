@@ -74,3 +74,23 @@ def test_contract_shape():
     os_ = entrymod.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 35
+
+
+def test_driver_window_composition():
+    """The driver harness checks only the FIRST 50 registered queries;
+    pin the window: the similarity/training-data family (invisible in r2)
+    must sit inside it, and exactly the documented shape-twins defer past
+    it (each still covered by tools/check_correctness.py's full sweep)."""
+    from rendler_spark.queries import DEFERRED
+
+    names = list(QUERIES)
+    assert len(names) >= 60
+    window = set(names[:50])
+    family = {
+        "q_doc_punct_ratio", "q_doc_quality_score", "q_embed_norm",
+        "q_ann_cosine_topk", "q_ann_lsh_topk", "q_embed_neardup",
+        "q_minhash_pairs", "q_ngram_jaccard", "q_simhash", "q_crawl_smoke",
+    }
+    assert family <= window
+    assert names[50:] == DEFERRED
+    assert not family & set(DEFERRED)
