@@ -511,3 +511,120 @@ def embedding_near_duplicates(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+# ------------------------------------------------- IVF (coarse-quantizer ANN)
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def ivf_assign(
+    df: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray
+) -> DataFrame:
+    """(id, vec, cluster) — nearest-centroid (max cosine) assignment; one
+    Arrow-batched matmul per batch against the (k, d) centroid matrix,
+    which rides into every worker inside the UDF closure (k*d doubles —
+    kilobytes)."""
+    cu = _unit(centroids.astype(np.float64))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = _unit(np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64))
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "cluster": (mat @ cu.T).argmax(axis=1).astype(np.int32),
+                }
+            )
+
+    return _spread(df, id_col, vec_col).mapInPandas(
+        gen, f"id long, {vec_col} array<float>, cluster int"
+    )
+
+
+def ivf_build(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer: returns the
+    (n_centroids, dim) centroid matrix.
+
+    Init: the ``n_centroids`` rows with the smallest det_mix(id) (a
+    deterministic data-dependent sample — no RNG state).  Each Lloyd
+    iteration is one assignment pass (Arrow matmul) plus ONE JVM-only
+    shuffle: posexplode the assigned vectors and groupBy(cluster, pos)
+    .avg — the element-wise mean without any Python aggregation.  The
+    driver only ever holds k*d floats.  At corpus scale you train the
+    quantizer on a det_sample slice and ``ivf_assign`` the full corpus
+    once — the same build-on-sample/assign-everything split FAISS uses."""
+    from rendler_spark.functions.sampling import det_mix
+
+    seeds = (
+        df.select(id_col, vec_col)
+        .orderBy(det_mix(id_col).asc(), F.col(id_col).asc())
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = _unit(
+        np.asarray([list(r[vec_col]) for r in seeds], dtype=np.float64)
+    )
+    for _ in range(n_iter):
+        assigned = ivf_assign(df, id_col, vec_col, cents)
+        means = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new = cents.copy()  # empty clusters keep their previous centroid
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        for c, d in by_cluster.items():
+            new[c] = [d[p] for p in range(len(d))]
+        cents = _unit(new)
+    return cents
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    qvec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_iter: int = 5,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN: restrict the exact cosine top-k to the ``nprobe``
+    clusters whose centroids are nearest the query (the classic inverted-
+    file search; SRP-LSH's ``srp_topk`` is the signature-based
+    alternative).  Search cost ~ nprobe/n_centroids of the corpus; with
+    a materialized assignment column (partitioned/bucketed by cluster)
+    the non-probed clusters are never scanned at all."""
+    if centroids is None:
+        centroids = ivf_build(df, id_col, vec_col, n_centroids, n_iter, seed)
+    q = _unit(np.asarray([qvec], dtype=np.float64))[0]
+    probe = np.argsort(-(_unit(centroids.astype(np.float64)) @ q))[:nprobe]
+    cand = ivf_assign(df, id_col, vec_col, centroids).filter(
+        F.col("cluster").isin([int(c) for c in probe])
+    )
+    out = cand.withColumn("cos", cosine_to_query(cand, vec_col, qvec))
+    return (
+        out.select(F.col("id").alias(id_col), F.round("cos", 4).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )

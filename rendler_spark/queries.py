@@ -1172,6 +1172,134 @@ def q_crawl_smoke(spark, sf):
     return spark.createDataFrame(pdf, schema)
 
 
+# ==================================== training-data pipeline ops (r3 adds)
+#
+# Registered after the 50-query driver window fills; each is verified by
+# tests/test_queries_oracle.py (sf0.001 exact) and the committed
+# CORRECTNESS_SELF_r{N}.json full sweep (sf0.01 bitwise).
+
+@q(
+    "q_sample_det",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       WHERE CAST(floor(((o_orderkey % 2147483648) * 2654435761 % 4294967296)
+                        / 33554432) AS BIGINT) < 13""",
+)
+def q_sample_det(spark, sf):
+    """Deterministic ~10% sample (13/128 hash buckets) — reproducible
+    subsets with NO RNG state: the bucket is plain modular arithmetic
+    (functions/sampling.det_mix), expressible identically in ANSI SQL, so
+    the driver verifies the EXACT row set — something df.sample(seed=)
+    cannot promise across partitionings.  At 100 TB this is a pushed-down
+    scan filter: no shuffle, no state."""
+    from rendler_spark.functions.sampling import det_sample
+
+    return det_sample(t(spark, sf, "orders"), "o_orderkey", keep_buckets=13).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@q(
+    "q_corpus_mix",
+    """SELECT doc_id, lang_pred FROM (
+         SELECT doc_id, lang_pred,
+                row_number() OVER (
+                  PARTITION BY lang_pred
+                  ORDER BY CAST((doc_id % 2147483648) * 2654435761 % 4294967296
+                                AS BIGINT), doc_id) AS rn
+         FROM (SELECT doc_id,
+                      CASE WHEN length(text) - length(replace(text, ' the ', ''))
+                                >= 10 THEN 'en_heavy'
+                           WHEN contains(text, 'spark') THEN 'tech'
+                           ELSE 'other' END AS lang_pred
+               FROM documents))
+       WHERE rn <= CASE lang_pred WHEN 'en_heavy' THEN 100
+                                  WHEN 'tech' THEN 50 ELSE 25 END""",
+)
+def q_corpus_mix(spark, sf):
+    """Corpus mixing: per-language quotas with a deterministic preference
+    order (det_mix of doc_id as the tiebreak-free shuffle) — the
+    rebalance-to-target-proportions step between curation and training.
+    One window shuffle on the group key; quotas are a CASE expression."""
+    from rendler_spark.functions import text as textfns
+    from rendler_spark.functions.sampling import det_mix
+
+    d = t(spark, sf, "documents").select("doc_id", textfns.lang_guess(F.col("text")))
+    w = Window.partitionBy("lang_pred").orderBy(det_mix("doc_id"), "doc_id")
+    quota = (
+        F.when(F.col("lang_pred") == "en_heavy", 100)
+        .when(F.col("lang_pred") == "tech", 50)
+        .otherwise(25)
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= quota)
+        .select("doc_id", "lang_pred")
+    )
+
+
+@q(
+    "q_pack_sequences",
+    """SELECT doc_id, shard,
+              CAST(floor((run - n_tokens) / 2000) AS BIGINT) AS chunk_id
+       FROM (SELECT doc_id, shard, n_tokens,
+                    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS run
+             FROM (SELECT doc_id,
+                          CAST((doc_id % 2147483648) * 2654435761
+                               % 4294967296 % 8 AS BIGINT) AS shard,
+                          len(string_split(text, ' ')) AS n_tokens
+                   FROM documents))""",
+)
+def q_pack_sequences(spark, sf):
+    """Sequence packing: chunk documents into ~2000-token training
+    sequences.  Packing is sequential, so it runs PER HASH SHARD (8 here;
+    thousands at corpus scale = training shards) — each shard is one
+    window partition packing independently; there is never a global sort.
+    functions/sampling.pack_sequences."""
+    from rendler_spark.functions.sampling import pack_sequences
+
+    d = t(spark, sf, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return pack_sequences(d, "doc_id", "n_tokens", budget=2000, n_shards=8).select(
+        "doc_id", "shard", "chunk_id"
+    )
+
+
+@q(
+    "q_doc_bpe_tokens",
+    r"""SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+                    AS INTEGER) AS n_bpe
+        FROM documents""",
+)
+def q_doc_bpe_tokens(spark, sf):
+    """BPE-ish pre-tokenizer count (letter runs | single digits | single
+    punctuation — the GPT-2 pre-tokenizer's shape without the library):
+    the token-budget accounting a training pipeline runs per document.
+    Pure JVM regexp_count; the oracle counts the same RE2/Java-compatible
+    pattern's matches."""
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")).alias(
+            "n_bpe"
+        ),
+    )
+
+
+@q("q_ann_ivf_topk")  # rows-only: approximate (recall pinned in pytest)
+def q_ann_ivf_topk(spark, sf):
+    """IVF ANN top-k (deterministic spherical k-means coarse quantizer,
+    nprobe nearest inverted lists, exact cosine on the probed slice) —
+    the FAISS-style alternative to q_ann_lsh_topk; q_ann_cosine_topk is
+    the exactness baseline for both."""
+    e = t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    return similarity.ivf_topk(
+        e, "vec_id", "embedding", _query_vec(spark, sf), k=10,
+        n_centroids=16, nprobe=4, n_iter=3,
+    )
+
+
 # ================================================= driver-window ordering
 #
 # The driver's correctness harness checks only the FIRST 50 registered

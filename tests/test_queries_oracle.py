@@ -92,5 +92,5 @@ def test_driver_window_composition():
         "q_minhash_pairs", "q_ngram_jaccard", "q_simhash", "q_crawl_smoke",
     }
     assert family <= window
-    assert names[50:] == DEFERRED
+    assert set(DEFERRED) <= set(names[50:])  # twins stay out of the window
     assert not family & set(DEFERRED)

@@ -194,3 +194,37 @@ def test_srp_signatures_empty_input(spark):
     assert s1.count() == 0 and s2.count() == 0
     assert [f.name for f in s1.schema.fields] == ["id", "embedding", "sig"]
     assert [f.name for f in s2.schema.fields] == ["id", "embedding", "sig"]
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    """IVF ANN on clustered data: two identical builds give identical
+    centroids (fully deterministic — no RNG), the probed search recovers
+    most of the true top-k, and every returned score is the exact cosine."""
+    import pandas as pd
+
+    rng = np.random.default_rng(21)
+    centers = rng.normal(size=(8, 16)) * 4
+    vecs = np.concatenate(
+        [c + rng.normal(size=(50, 16)) for c in centers]
+    ).astype(np.float32)
+    q = (centers[3] + rng.normal(size=16) * 0.1).tolist()
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs]})
+    )
+    c1 = S.ivf_build(df, "vec_id", "embedding", n_centroids=8, n_iter=3)
+    c2 = S.ivf_build(df, "vec_id", "embedding", n_centroids=8, n_iter=3)
+    assert np.array_equal(c1, c2)
+
+    exact = [r["vec_id"] for r in S.cosine_topk(df, "vec_id", "embedding", q, k=10).collect()]
+    approx = S.ivf_topk(
+        df, "vec_id", "embedding", q, k=10, n_centroids=8, nprobe=3, n_iter=3
+    ).collect()
+    got = [r["vec_id"] for r in approx]
+    recall = len(set(exact) & set(got)) / 10
+    assert recall >= 0.7, (recall, exact, got)
+    exact_scores = {
+        r["vec_id"]: r["cos"]
+        for r in S.cosine_topk(df, "vec_id", "embedding", q, k=len(vecs)).collect()
+    }
+    for r in approx:
+        assert r["cos"] == exact_scores[r["vec_id"]]
