@@ -9,7 +9,12 @@ throughout (the compare is exact-valued):
 * every computed column is aliased IDENTICALLY in both versions;
 * floating aggregates are rounded the same on both sides;
 * DuckDB sums of integers are cast back to BIGINT (they widen to HUGEINT);
-* embedding math casts FLOAT -> DOUBLE on both sides before accumulating.
+* embedding math casts FLOAT -> DOUBLE on both sides before accumulating;
+* abs()/negation over zero-bearing doubles is normalized with `+ 0.0`
+  (Spark abs(-0.0)=+0.0, DuckDB abs keeps -0.0 — equal under ==,
+  different under the bitwise value hash);
+* deterministic hashing uses plain modular arithmetic (sampling.det_mix)
+  so both engines compute the identical bucket (DuckDB has no xxhash64).
 
 Non-SQL-expressible operators (minhash/simhash/session_window native) are
 registered without oracle SQL -> the driver records a rows-only check.

@@ -151,7 +151,7 @@ class Warehouse:
         for p in (self.root / "_manifests").glob("v*.json"):
             if int(p.stem[1:]) > version:
                 p.unlink()
-        state = {"frontier", "seen", "seen_compact", "bloom"}
+        state = self.STATE_TABLES
         for table_dir in self.root.iterdir():
             if not table_dir.is_dir() or table_dir.name.startswith("_"):
                 continue
@@ -164,4 +164,47 @@ class Warehouse:
         last = self.last_version()
         if last is None:
             return []
-        return [self.manifest(v) for v in range(last + 1)]
+        return [self.manifest(v) for v in range(self.first_version(), last + 1)]
+
+    def first_version(self) -> int:
+        versions = sorted(
+            int(p.stem[1:]) for p in (self.root / "_manifests").glob("v*.json")
+        )
+        return versions[0] if versions else 0
+
+    # ------------------------------------------------ Iceberg maintenance
+
+    #: tables whose wave=N dir belongs to commit N (everything else's
+    #: wave=N outputs are committed by version N+1) — shared by truncate()
+    #: and read_as_of()
+    STATE_TABLES = frozenset({"frontier", "seen", "seen_compact", "bloom"})
+
+    def read_as_of(
+        self, spark: SparkSession, table: str, version: int
+    ) -> DataFrame:
+        """Time travel: the table's content as of committed ``version`` —
+        Iceberg's ``VERSION AS OF`` over this layout.  Partition dirs are
+        append-only per wave and a manifest covers everything up to its
+        version, so the historical read is just an upto-bounded dir list
+        (no data copies, O(1) metadata)."""
+        upto = version if table in self.STATE_TABLES else version - 1
+        return self.read(spark, table, upto=upto)
+
+    def expire_snapshots(self, keep_last: int) -> int:
+        """Iceberg's expire_snapshots: drop manifest versions older than
+        the newest ``keep_last``, bounding metadata growth on a
+        long-running crawl.  Data partition dirs are never touched (every
+        wave dir is still referenced by a retained manifest's lineage or
+        readable directly); only rollback/time-travel BEYOND the horizon
+        is given up.  Returns the number of manifests removed."""
+        assert keep_last >= 1
+        last = self.last_version()
+        if last is None:
+            return 0
+        horizon = last - keep_last + 1
+        removed = 0
+        for p in (self.root / "_manifests").glob("v*.json"):
+            if int(p.stem[1:]) < horizon:
+                p.unlink()
+                removed += 1
+        return removed

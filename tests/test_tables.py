@@ -65,3 +65,35 @@ def test_truncate(spark, wh):
     # state table keeps wave<=1; output table keeps wave<1
     assert wh.exists("frontier", 1) and not wh.exists("frontier", 2)
     assert wh.exists("images", 0) and not wh.exists("images", 1)
+
+
+def test_read_as_of_time_travel(spark, wh):
+    """VERSION AS OF semantics: state tables include their own version's
+    wave; output tables only waves committed BY that version (wave w's
+    outputs commit at w+1)."""
+    _write(spark, wh, "seen", 0, 5)     # state table
+    _write(spark, wh, "edges", 0, 3)    # output of wave 0
+    wh.commit(0, {"kind": "init"})
+    _write(spark, wh, "seen", 1, 7)
+    _write(spark, wh, "edges", 1, 4)
+    wh.commit(1, {})
+    wh.commit(2, {})
+    assert wh.read_as_of(spark, "seen", 0).count() == 5
+    assert wh.read_as_of(spark, "seen", 1).count() == 12
+    assert wh.read_as_of(spark, "edges", 1).count() == 3   # only wave 0
+    assert wh.read_as_of(spark, "edges", 2).count() == 7
+
+
+def test_expire_snapshots_bounds_metadata_keeps_resume(spark, wh):
+    for v in range(6):
+        _write(spark, wh, "seen", v, 2)
+        wh.commit(v, {"n_frontier_next": v})
+    removed = wh.expire_snapshots(keep_last=2)
+    assert removed == 4
+    assert wh.first_version() == 4 and wh.last_version() == 5
+    assert [m["version"] for m in wh.all_manifests()] == [4, 5]
+    # resume metadata (latest manifest) intact; data dirs untouched
+    assert wh.manifest(5)["n_frontier_next"] == 5
+    assert wh.read(spark, "seen").count() == 12
+    # time travel within the retained horizon still works
+    assert wh.read_as_of(spark, "seen", 4).count() == 10
