@@ -271,6 +271,10 @@ class CrawlEngine:
         seen_join_hint: str | None = None,  # None = let AQE choose (right
         # while the maybe-seen side is broadcastable); "shuffle_hash" pins
         # the C2 shuffle-hash-by-hash-prefix plan for 10^10-scale seen sets
+        snapshot_keep: int | None = None,  # expire manifests older than the
+        # newest N after each wave commit (Iceberg expire_snapshots; bounds
+        # metadata growth on a long crawl; None = keep all — required when
+        # external tooling rolls back past the horizon, e.g. BENCH/scaling)
     ):
         self.spark = spark
         self.cfg = cfg
@@ -297,6 +301,7 @@ class CrawlEngine:
         self.seen_join_hint = seen_join_hint
         self.seen_shard_partition = seen_shard_partition
         self.seen_compact_every = seen_compact_every
+        self.snapshot_keep = snapshot_keep
         assert fetch_udf in ("arrow", "pandas"), fetch_udf
         self.fetch_udf = fetch_udf
         self._seen_pby = ["shard"] if seen_shard_partition else None
@@ -711,6 +716,8 @@ class CrawlEngine:
             "wave_metrics", w, spark.createDataFrame(metrics_pdf)
         )
         self.wh.commit(w + 1, {"kind": "wave", **stats})
+        if self.snapshot_keep:
+            self.wh.expire_snapshots(self.snapshot_keep)
 
         flagged.unpersist()
         resolved.unpersist()

@@ -49,3 +49,28 @@ def test_kill_and_resume_bit_identical(spark, tmp_path):
         ), table
     assert full.wh.last_version() == resumed.wh.last_version() == WAVES
     shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def test_snapshot_keep_bounds_manifests_and_stays_identical(spark, tmp_path):
+    """snapshot_keep expires old manifests after each wave commit; the
+    crawl's outputs are unchanged vs the default engine and resume from
+    the latest (retained) manifest still works."""
+    ref = CrawlEngine(spark, CFG, str(tmp_path / "ref"))
+    ref.run(WAVES)
+
+    kept = CrawlEngine(spark, CFG, str(tmp_path / "kept"), snapshot_keep=2)
+    kept.run(2)
+    assert kept.wh.first_version() == kept.wh.last_version() - 1  # expired
+    stats = CrawlEngine.resume(spark, CFG, str(tmp_path / "kept"), WAVES)
+    assert [s["wave"] for s in stats] == [2]
+
+    resumed = CrawlEngine(spark, CFG, str(tmp_path / "kept"))
+    for table, cols in {
+        "seen": ("url", "depth", "seq", "blocked"),
+        "edges": ("src", "dst", "wave"),
+        "images": ("image_id", "bytes", "caption", "phash"),
+    }.items():
+        assert _table_rows(spark, ref, table, cols) == _table_rows(
+            spark, resumed, table, cols
+        ), table
+    shutil.rmtree(tmp_path, ignore_errors=True)
