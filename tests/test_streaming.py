@@ -103,3 +103,53 @@ def test_stateful_streaming_dedup_across_microbatches(spark, tmp_path, mode, kin
     got = [r["url"] for r in spark.sql(f"SELECT url FROM {sink}").collect()]
     assert sorted(got) == sorted(f"http://h{i % 4}.test/p{i}" for i in range(30))
     assert len(got) == len(set(got))  # each URL exactly once, across batches
+
+
+def test_crawl_ingest_stream_foreachbatch(spark, tmp_path):
+    """Streaming ingestion skin: 2 overlapping URL micro-batches ->
+    stateful dedup -> fetch/render foreachBatch -> warehouse.  Each
+    distinct URL is rendered exactly once, bytes/captions are identical
+    to the batch kernel's output for the same URLs, and every non-empty
+    epoch committed a manifest."""
+    import pandas as pd
+
+    from rendler_spark.engine import make_fetch_render, PAGE_SCHEMA
+    from rendler_spark.sources.tables import Warehouse
+    from rendler_spark.streaming.crawl_stream import crawl_ingest_stream
+    from rendler_spark.synthweb import WebConfig, page_url
+
+    cfg = WebConfig()
+    urls1 = page_url(cfg, pd.Series([0, 0, 1, 1]), pd.Series([0, 1, 0, 1])).tolist()
+    urls2 = page_url(cfg, pd.Series([1, 1, 2]), pd.Series([0, 1, 0])).tolist()  # 2 repeats
+    src = str(tmp_path / "url_src")
+    for pdf in (pd.DataFrame({"url": urls1}), pd.DataFrame({"url": urls2})):
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    wh_dir = str(tmp_path / "stream_wh")
+    q = crawl_ingest_stream(
+        spark, cfg, wh_dir, stream, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+
+    wh = Warehouse(wh_dir)
+    images = wh.read(spark, "images").collect()
+    want_urls = sorted(set(urls1) | set(urls2))
+    assert sorted(r["image_id"] for r in images) == want_urls
+    # byte/caption parity with the batch kernel on the same URLs
+    ref = {
+        r["url"]: (bytes(r["bytes"]), r["caption"], r["phash"])
+        for r in spark.createDataFrame(pd.DataFrame({"url": want_urls}))
+        .selectExpr("url", "'h' AS host", "0 AS depth", "'' AS seq")
+        .mapInPandas(make_fetch_render(cfg), PAGE_SCHEMA)
+        .collect()
+    }
+    for r in images:
+        assert (bytes(r["bytes"]), r["caption"], r["phash"]) == ref[r["image_id"]]
+    manifests = wh.all_manifests()
+    assert all(m["kind"] == "stream_batch" for m in manifests[1:]) or manifests
+    assert sum(m.get("n_fetched", 0) for m in manifests) == len(want_urls)
+    assert wh.read(spark, "edges").count() > 0
