@@ -76,3 +76,30 @@ def test_pack_sequences_window_is_shard_partitioned(spark):
     )
     assert "hashpartitioning(shard" in plan
     assert "SinglePartition" not in plan
+
+
+def test_det_mix_sql_twin_matches_duckdb_hypothesis():
+    """det_mix_sql is the oracle-side twin of det_mix: property-check the
+    Python reference against DuckDB's evaluation of the SQL expression
+    over random non-negative int64 keys (no Spark needed — det_mix itself
+    is pinned to the same reference above)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rendler_spark.functions.sampling import det_mix_sql
+
+    con = duckdb.connect()
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=64))
+    def prop(keys):
+        rows = con.sql(
+            f"SELECT k, {det_mix_sql('k')} AS m FROM (SELECT unnest(?) AS k)",
+            params=[keys],
+        ).fetchall()
+        for k, m in rows:
+            assert m == _py_mix(k)
+
+    prop()
+    con.close()
