@@ -185,3 +185,118 @@ def phash_near_duplicates(
     return cand.withColumn("hamming", ham).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+# ------------------------------------------------------------- audio
+
+#: audio formats needing external decoders (stub boundary, like images)
+EXTERNAL_AUDIO_FORMATS = {"mp3", "flac", "ogg", "aac", "opus"}
+
+
+def decode_audio(data: bytes, fmt: str) -> np.ndarray:
+    """Decode one clip to a float64 mono sample array in [-1, 1).
+
+    'pcm16' (raw little-endian int16) and 'wav' (RIFF PCM via the stdlib
+    ``wave`` module) decode for REAL — unlike images/video, lossless audio
+    needs no external library, so the audio pipeline is fully exercisable
+    in this container.  Compressed formats raise behind the same
+    signature (same honest stub boundary as ``decode_image``)."""
+    if fmt == "pcm16":
+        return np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    if fmt == "wav":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(data)) as wf:
+            assert wf.getsampwidth() == 2, "only 16-bit PCM wav supported"
+            raw = wf.readframes(wf.getnframes())
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+            return x.reshape(-1, wf.getnchannels()).mean(axis=1)
+    if fmt in EXTERNAL_AUDIO_FORMATS:
+        raise NotImplementedError(
+            f"decoding '{fmt}' requires an audio library not present in "
+            "this container; plug a decoder into rendler_spark.functions."
+            "multimodal.decode_audio"
+        )
+    raise ValueError(f"unknown audio format {fmt!r}")
+
+
+def audio_features(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    rate_col: str = "sample_rate",
+) -> DataFrame:
+    """Per-clip features a corpus filter runs before training: duration,
+    RMS energy, peak amplitude, zero-crossing rate (per second).  Same
+    pipeline shape as ``image_stats``: Arrow-batched mapInPandas, numpy
+    per clip, metadata (fmt/rate predicates) stays JVM-side."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dur = np.empty(len(pdf))
+            rms = np.empty(len(pdf))
+            peak = np.empty(len(pdf))
+            zcr = np.empty(len(pdf))
+            for i, (b, f_, sr) in enumerate(
+                zip(pdf[bytes_col], pdf[fmt_col], pdf[rate_col])
+            ):
+                x = decode_audio(bytes(b), f_)
+                dur[i] = len(x) / sr
+                rms[i] = float(np.sqrt(np.mean(x**2))) if len(x) else 0.0
+                peak[i] = float(np.abs(x).max()) if len(x) else 0.0
+                crossings = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                zcr[i] = crossings / dur[i] if dur[i] else 0.0
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf[id_col],
+                    "duration_s": dur.round(6),
+                    "rms": rms.round(6),
+                    "peak": peak.round(6),
+                    "zcr_per_s": zcr.round(3),
+                }
+            )
+
+    return df.select(id_col, bytes_col, fmt_col, rate_col).mapInPandas(
+        gen,
+        "clip_id long, duration_s double, rms double, peak double, "
+        "zcr_per_s double",
+    )
+
+
+def resample_audio(
+    df: DataFrame,
+    target_rate: int,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    rate_col: str = "sample_rate",
+) -> DataFrame:
+    """Linear-interpolation resample to ``target_rate``, re-encoded as
+    pcm16 — the normalize-before-training step (thumbnailing's audio
+    twin).  Pure numpy (np.interp) per clip."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b, f_, sr in zip(pdf[bytes_col], pdf[fmt_col], pdf[rate_col]):
+                x = decode_audio(bytes(b), f_)
+                n_out = int(round(len(x) * target_rate / sr))
+                t_out = np.arange(n_out) * (sr / target_rate)
+                y = np.interp(t_out, np.arange(len(x)), x) if len(x) else x
+                out.append(
+                    np.clip(y * 32768.0, -32768, 32767).astype("<i2").tobytes()
+                )
+            yield pd.DataFrame(
+                {
+                    "clip_id": pdf[id_col],
+                    "bytes": out,
+                    "fmt": ["pcm16"] * len(pdf),
+                    "sample_rate": np.full(len(pdf), target_rate, dtype=np.int32),
+                }
+            )
+
+    return df.select(id_col, bytes_col, fmt_col, rate_col).mapInPandas(
+        gen, "clip_id long, bytes binary, fmt string, sample_rate int"
+    )

@@ -78,3 +78,81 @@ def test_phash_near_duplicates(spark):
              for r in M.phash_near_duplicates(df, max_hamming=3).collect()}
     assert ("a", "a_q") in pairs
     assert not any("z" in p for p in pairs)
+
+
+def _sine_pcm16(freq, sr, secs, amp=0.5):
+    import numpy as np
+
+    t = np.arange(int(sr * secs)) / sr
+    x = amp * np.sin(2 * np.pi * freq * t)
+    return np.clip(x * 32768.0, -32768, 32767).astype("<i2").tobytes()
+
+
+def _wav_bytes(pcm16: bytes, sr: int, channels: int = 1) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(pcm16)
+    return buf.getvalue()
+
+
+def test_audio_features_sine_properties(spark):
+    """RMS of a sine = amp/sqrt(2); ZCR = 2*freq per second; duration =
+    n/sr — closed-form checks on synthesized PCM (real decode, no stub)."""
+    import math
+
+    import pandas as pd
+
+    from rendler_spark.functions.multimodal import audio_features
+
+    sr = 16000
+    clips = pd.DataFrame(
+        {
+            "clip_id": [0, 1],
+            "bytes": [_sine_pcm16(440, sr, 1.0), _wav_bytes(_sine_pcm16(100, sr, 2.0), sr)],
+            "fmt": ["pcm16", "wav"],
+            "sample_rate": [sr, sr],
+        }
+    )
+    rows = {r["clip_id"]: r for r in audio_features(spark.createDataFrame(clips)).collect()}
+    assert rows[0]["duration_s"] == pytest.approx(1.0)
+    assert rows[0]["rms"] == pytest.approx(0.5 / math.sqrt(2), rel=1e-3)
+    assert rows[0]["zcr_per_s"] == pytest.approx(2 * 440, rel=0.01)
+    assert rows[1]["duration_s"] == pytest.approx(2.0)
+    assert rows[1]["zcr_per_s"] == pytest.approx(2 * 100, rel=0.01)
+
+
+def test_audio_resample_preserves_duration_and_shape(spark):
+    import numpy as np
+    import pandas as pd
+
+    from rendler_spark.functions.multimodal import decode_audio, resample_audio
+
+    sr = 16000
+    clips = pd.DataFrame(
+        {
+            "clip_id": [0],
+            "bytes": [_sine_pcm16(440, sr, 1.0)],
+            "fmt": ["pcm16"],
+            "sample_rate": [sr],
+        }
+    )
+    out = resample_audio(spark.createDataFrame(clips), target_rate=8000).collect()[0]
+    assert out["fmt"] == "pcm16" and out["sample_rate"] == 8000
+    y = decode_audio(bytes(out["bytes"]), "pcm16")
+    assert len(y) == 8000  # 1 second at the new rate
+    # still a 440 Hz sine: ~880 zero crossings
+    zc = int(np.count_nonzero(np.signbit(y[1:]) != np.signbit(y[:-1])))
+    assert abs(zc - 880) <= 10
+
+
+def test_audio_external_format_is_honest_stub(spark):
+    from rendler_spark.functions.multimodal import decode_audio
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"\x00\x01", "mp3")
