@@ -1305,6 +1305,43 @@ def q_ann_ivf_topk(spark, sf):
     )
 
 
+@q("q_audio_features")  # rows-only: binary decode isn't SQL-expressible
+def q_audio_features(spark, sf):
+    """Audio corpus-filter features (duration/RMS/peak/ZCR) over a
+    deterministic synthesized PCM clip table (one clip per event user,
+    frequency/length derived from the user id — no external data, no
+    RNG).  Closed-form correctness is pinned in tests/test_multimodal.py;
+    this registers the Arrow-batched decode+extract plumbing with the
+    driver harness."""
+    import numpy as np
+    import pandas as pd
+
+    from rendler_spark.functions.multimodal import audio_features
+
+    users = [
+        int(r["user_id"])
+        for r in t(spark, sf, "events").select("user_id").distinct().collect()
+    ]
+    sr = 8000
+    clips = []
+    for u in sorted(users)[:64]:
+        freq = 100 + (u % 40) * 10
+        n = sr // 2 + (u % 5) * sr // 10
+        x = 0.5 * np.sin(2 * np.pi * freq * np.arange(n) / sr)
+        clips.append(
+            (u, np.clip(x * 32768.0, -32768, 32767).astype("<i2").tobytes())
+        )
+    pdf = pd.DataFrame(
+        {
+            "clip_id": [c[0] for c in clips],
+            "bytes": [c[1] for c in clips],
+            "fmt": ["pcm16"] * len(clips),
+            "sample_rate": [sr] * len(clips),
+        }
+    )
+    return audio_features(spark.createDataFrame(pdf))
+
+
 # ================================================= driver-window ordering
 #
 # The driver's correctness harness checks only the FIRST 50 registered
