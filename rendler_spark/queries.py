@@ -1224,22 +1224,35 @@ def q_corpus_mix(spark, sf):
     """Corpus mixing: per-language quotas with a deterministic preference
     order (det_mix of doc_id as the tiebreak-free shuffle) — the
     rebalance-to-target-proportions step between curation and training.
-    One window shuffle on the group key; quotas are a CASE expression."""
+
+    This is per-group smallest-K, and a language column has FEW distinct
+    values — a naive `row_number over (partition by lang_pred)` puts an
+    entire language into one window task at corpus scale.  So it rides
+    the politeness operator's salted two-phase exact top-K
+    (operators/politeness.budgeted_topk): phase 1 ranks within
+    (lang, salt) — parallel even for one giant language — phase 2 ranks
+    the <= n_salt*quota survivors.  Identical rows to the naive window
+    (the oracle IS the naive window in SQL)."""
     from rendler_spark.functions import text as textfns
     from rendler_spark.functions.sampling import det_mix
+    from rendler_spark.operators.politeness import budgeted_topk
 
-    d = t(spark, sf, "documents").select("doc_id", textfns.lang_guess(F.col("text")))
-    w = Window.partitionBy("lang_pred").orderBy(det_mix("doc_id"), "doc_id")
+    d = t(spark, sf, "documents").select(
+        "doc_id", textfns.lang_guess(F.col("text")), det_mix("doc_id").alias("mix")
+    )
     quota = (
         F.when(F.col("lang_pred") == "en_heavy", 100)
         .when(F.col("lang_pred") == "tech", 50)
         .otherwise(25)
     )
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= quota)
-        .select("doc_id", "lang_pred")
+    picked, _rest = budgeted_topk(
+        d.withColumn("quota", quota),
+        host_col="lang_pred",
+        order_cols=("mix", "doc_id"),
+        budget_col="quota",
+        url_col="doc_id",
     )
+    return picked.select("doc_id", "lang_pred")
 
 
 @q(
