@@ -1318,6 +1318,94 @@ def q_ann_ivf_topk(spark, sf):
     )
 
 
+@q(
+    "q_inverted_index",
+    """SELECT term, count(DISTINCT doc_id) AS df,
+              list_sort(list(DISTINCT doc_id)) AS postings
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents)
+       WHERE length(term) >= 5
+       GROUP BY term""",
+)
+def q_inverted_index(spark, sf):
+    """Inverted-index build: term -> sorted postings + document
+    frequency (the crawl -> search-index step; RENDLER's corpus exists to
+    be indexed).  One explode + one hash shuffle on the term; postings
+    arrays compare exactly (sorted distinct integers).  Restricted to
+    length>=5 terms so the driver row set stays bounded; the plan is
+    term-count-agnostic."""
+    d = t(spark, sf, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.length("term") >= 5)
+        .groupBy("term")
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        )
+    )
+
+
+#: fixed BM25 demo query terms (present/absent mix exercises both paths)
+_BM25_TERMS = ("the", "spark", "shuffle")
+
+
+@q(
+    "q_bm25",
+    f"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents),
+         dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+                FROM documents),
+         stats AS (SELECT count(*) AS n,
+                          CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE term IN {_BM25_TERMS} GROUP BY doc_id, term),
+         dft AS (SELECT term, count(DISTINCT doc_id) AS dft FROM toks
+                 WHERE term IN {_BM25_TERMS} GROUP BY term)
+       SELECT tf.doc_id,
+              round(sum(ln(1 + (stats.n - dft.dft + 0.5) / (dft.dft + 0.5))
+                        * tf.tf * 2.2
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))),
+                    4) AS bm25
+       FROM tf
+       JOIN dft ON tf.term = dft.term
+       JOIN dl ON tf.doc_id = dl.doc_id
+       CROSS JOIN stats
+       GROUP BY tf.doc_id""",
+)
+def q_bm25(spark, sf):
+    """BM25 relevance scoring (k1=1.2, b=0.75) of the document corpus
+    against a fixed term set — the rank step of crawl -> index -> search.
+    Shape: explode -> two hash aggregates (tf per doc-term, df per term)
+    -> broadcast the tiny per-term idf + corpus stats -> per-doc sum.
+    The idf ln() is irrational so round(4) is boundary-safe on both
+    engines (queries.py header rules)."""
+    d = t(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = d.select(
+        F.count("*").alias("n"),
+        (F.sum(F.size(F.split("text", " "))).cast("double") / F.count("*")).alias(
+            "avgdl"
+        ),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dft = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("dft"))
+    idf = F.log(1 + (F.col("n") - F.col("dft") + 0.5) / (F.col("dft") + 0.5))
+    contrib = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("bm25"))
+    )
+
+
 @q("q_audio_features")  # rows-only: binary decode isn't SQL-expressible
 def q_audio_features(spark, sf):
     """Audio corpus-filter features (duration/RMS/peak/ZCR) over a

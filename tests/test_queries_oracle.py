@@ -27,7 +27,14 @@ def ddb():
 
 
 def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf[sorted(pdf.columns)]
+    import numpy as np
+
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:  # array cells (e.g. postings) -> sortable tuples
+        if pdf[c].map(lambda v: isinstance(v, (list, np.ndarray))).any():
+            pdf[c] = pdf[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+            )
     return pdf.sort_values(by=list(pdf.columns), ignore_index=True)
 
 
