@@ -1406,6 +1406,52 @@ def q_bm25(spark, sf):
     )
 
 
+@q(
+    "q_percentiles",
+    """SELECT l_returnflag,
+              quantile_cont(l_quantity, 0.5) AS p50,
+              quantile_cont(l_quantity, 0.95) AS p95,
+              quantile_cont(l_extendedprice, 0.99) AS p99_price
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def q_percentiles(spark, sf):
+    """Distribution statistics (exact interpolated percentiles) — the
+    corpus-profiling aggregate (token-length p95, doc-size p99) a
+    pipeline runs before choosing budgets.  Spark's sort-based
+    `percentile` and DuckDB's `quantile_cont` both linearly interpolate;
+    probed bitwise-identical at sf0.01 (even on interpolated cent
+    values).  At scale this is the sort-based exact path; the
+    approx_percentile sketch is the cheap alternative (same trade as
+    q_count_distinct vs approx)."""
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+            F.expr("percentile(l_quantity, 0.95)").alias("p95"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99_price"),
+        )
+    )
+
+
+@q(
+    "q_histogram",
+    """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+              count(*) AS n
+       FROM orders GROUP BY 1""",
+)
+def q_histogram(spark, sf):
+    """Fixed-width histogram (floor-bucket + count) — the scan-fused
+    distribution sketch; identical IEEE division+floor on both engines."""
+    return (
+        t(spark, sf, "orders")
+        .groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
 @q("q_audio_features")  # rows-only: binary decode isn't SQL-expressible
 def q_audio_features(spark, sf):
     """Audio corpus-filter features (duration/RMS/peak/ZCR) over a
