@@ -1407,6 +1407,40 @@ def q_bm25(spark, sf):
 
 
 @q(
+    "q_sample_weighted",
+    """SELECT doc_id FROM (
+         SELECT doc_id,
+                CAST((doc_id % 2147483648) * 2654435761 % 4294967296 AS DOUBLE)
+                  / 4294967296 AS u,
+                (CASE WHEN len(regexp_split_to_array(text, '\\s+'))
+                           BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.3 END)
+                * (1.0 - least(((length(text)
+                                 - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                                / greatest(length(text), 1)) * 5, 1.0))
+                * (CASE WHEN CAST((length(text) - length(replace(text, 'the', '')))
+                             / 3 AS INTEGER) > 0 THEN 1.0 ELSE 0.7 END) AS quality
+         FROM documents)
+       WHERE u < quality * 0.8""",
+)
+def q_sample_weighted(spark, sf):
+    """Quality-weighted deterministic sampling: keep each document with
+    probability ~ 0.8 * quality_score, decided by the document's OWN
+    det_mix(doc_id) uniform draw — no RNG state, rerun-stable, and the
+    keep decision rides the scan as a plain filter (u and quality are
+    both scan-fused expressions).  The curation pattern 'sample harder
+    from higher-quality strata' as one exact-oracle operator."""
+    from rendler_spark.functions import text as textfns
+    from rendler_spark.functions.sampling import _MOD_OUT, det_mix
+
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        (det_mix("doc_id").cast("double") / F.lit(float(_MOD_OUT))).alias("u"),
+        textfns.quality_score("text"),
+    )
+    return d.filter(F.col("u") < F.col("quality") * 0.8).select("doc_id")
+
+
+@q(
     "q_percentiles",
     """SELECT l_returnflag,
               quantile_cont(l_quantity, 0.5) AS p50,
