@@ -1486,6 +1486,85 @@ def q_histogram(spark, sf):
     )
 
 
+#: two chord families over 211 nodes — the (7,3) permutation alone is a
+#: union of cycles (degree-2 everywhere, zero triangles); adding (13,5)
+#: creates degree variety and 4 triangles, so the graph queries below
+#: exercise real structure
+_GRAPH2_SQL = """(SELECT event_id % 211 AS src, (event_id*7+3) % 211 AS dst
+                  FROM events WHERE event_id % 211 != (event_id*7+3) % 211
+                  UNION ALL
+                  SELECT event_id % 211, (event_id*13+5) % 211
+                  FROM events WHERE event_id % 211 != (event_id*13+5) % 211)"""
+
+
+def _graph_edges2(spark, sf):
+    e = t(spark, sf, "events")
+    mk = lambda m, c: e.select(  # noqa: E731
+        (F.col("event_id") % 211).alias("src"),
+        ((F.col("event_id") * m + c) % 211).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return mk(7, 3).unionByName(mk(13, 5))
+
+
+@q(
+    "q_degree_stats",
+    f"""WITH edges AS (SELECT * FROM {_GRAPH2_SQL}),
+         und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges)
+       SELECT degree, count(*) AS n_nodes FROM
+         (SELECT src, count(*) AS degree FROM und GROUP BY src)
+       GROUP BY degree""",
+)
+def q_degree_stats(spark, sf):
+    """Degree distribution of the crawl graph (how many pages have k
+    in/out-links) — two hash aggregates, the first graph-health query a
+    crawl operator runs."""
+    e = _graph_edges2(spark, sf)
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return (
+        und.groupBy("src")
+        .agg(F.count("*").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_nodes"))
+    )
+
+
+@q(
+    "q_triangle_count",
+    f"""WITH edges AS (SELECT * FROM {_GRAPH2_SQL}),
+         o AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+               FROM edges)
+       SELECT CAST(count(*) AS BIGINT) AS n_triangles
+       FROM o e1 JOIN o e2 ON e2.a = e1.b JOIN o e3
+         ON e3.a = e1.a AND e3.b = e2.b""",
+)
+def q_triangle_count(spark, sf):
+    """Exact triangle count over the undirected crawl graph — the
+    clustering-structure metric (link farms show up as dense triangle
+    clusters).  Standard scale shape: orient every edge low->high so
+    each triangle is counted ONCE as (a<b<c) and the self-joins stay on
+    oriented (thus deduplicated, skew-reduced) edges; two equi-joins on
+    node keys, no cartesian anywhere.  Production adds degree-based
+    orientation (low-degree first) to bound the wedge set; id-orientation
+    is the same plan on this graph."""
+    e = _graph_edges2(spark, sf)
+    o = (
+        e.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    e1 = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = o.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = o.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    return (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+
+
 @q("q_audio_features")  # rows-only: binary decode isn't SQL-expressible
 def q_audio_features(spark, sf):
     """Audio corpus-filter features (duration/RMS/peak/ZCR) over a
