@@ -135,3 +135,38 @@ def test_embed_neardup_band_join_carries_no_vectors(spark):
             and "vb#" not in blk
             and "sig" not in blk
         ), blk
+
+
+def test_histogram_partial_aggregation(spark):
+    s = _explain(spark, "q_histogram")
+    assert s.count("HashAggregate") >= 2 and "partial" in s.lower()
+
+
+def test_bm25_broadcasts_tiny_sides(spark):
+    """The per-term idf and corpus stats must broadcast — never shuffle
+    the tf table against 3-row frames."""
+    s = _explain(spark, "q_bm25")
+    assert "BroadcastHashJoin" in s or "BroadcastNestedLoopJoin" in s
+    # the stats cross-join is a 1-row broadcast, not a partitioned join
+    assert "CartesianProduct" not in s
+
+
+def test_triangle_count_no_cartesian(spark):
+    s = _explain(spark, "q_triangle_count")
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_sample_det_is_scan_fused(spark):
+    """Deterministic sampling must be a filter over the scan — no
+    shuffle, no window, no join in the plan."""
+    s = _explain(spark, "q_sample_det")
+    assert "Exchange" not in s
+    assert "Window" not in s and "Join" not in s
+
+
+def test_corpus_mix_windows_are_salted(spark):
+    """The corpus-mix top-K must never window on the bare language key:
+    phase 1 partitions by (lang, salt)."""
+    s = _explain(spark, "q_corpus_mix")
+    assert "_salt" in s
