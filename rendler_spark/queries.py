@@ -1565,6 +1565,92 @@ def q_triangle_count(spark, sf):
     )
 
 
+@q(
+    "q_tpch_q3_shape",
+    """SELECT l.l_orderkey,
+              CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                       * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                AS revenue,
+              o.o_orderdate
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+         AND o.o_orderdate < TIMESTAMP '1995-03-15'
+         AND l.l_shipdate > TIMESTAMP '1995-03-15'
+       GROUP BY l.l_orderkey, o.o_orderdate
+       ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey LIMIT 10""",
+)
+def q_tpch_q3_shape(spark, sf):
+    """TPC-H Q3-shaped composite (shipping-priority): 3-way join +
+    filtered scan + DECIMAL revenue aggregate + deterministic top-10 —
+    the multi-operator flagship showing the pieces compose: Catalyst
+    broadcasts the filtered customer dim, pushes both date filters to
+    the scans, and takes TakeOrderedAndProject over the aggregate.
+    (o_shippriority doesn't exist in this testdata; grouping is
+    (l_orderkey, o_orderdate).)"""
+    c = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "q_tpch_q5_shape",
+    """SELECT n.n_name,
+              CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                       * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                AS revenue
+       FROM region r
+       JOIN nation n ON n.n_regionkey = r.r_regionkey
+       JOIN customer c ON c.c_nationkey = n.n_nationkey
+       JOIN orders o ON o.o_custkey = c.c_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                      AND s.s_nationkey = c.c_nationkey
+       WHERE r.r_name = 'ASIA'
+         AND o.o_orderdate >= TIMESTAMP '1994-01-01'
+         AND o.o_orderdate < TIMESTAMP '1996-01-01'
+       GROUP BY n.n_name""",
+)
+def q_tpch_q5_shape(spark, sf):
+    """TPC-H Q5-shaped composite (local-supplier volume): 6-table join
+    chain with a same-nation theta condition on the supplier join —
+    Catalyst reorders and broadcasts the dims, the orders/lineitem join
+    shuffles on the key; DECIMAL revenue keeps it oracle-exact."""
+    r = t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf, "nation")
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    li = t(spark, sf, "lineitem")
+    s = t(spark, sf, "supplier")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
 @q("q_audio_features")  # rows-only: binary decode isn't SQL-expressible
 def q_audio_features(spark, sf):
     """Audio corpus-filter features (duration/RMS/peak/ZCR) over a
