@@ -560,8 +560,9 @@ def ivf_build(
     """Deterministic spherical k-means coarse quantizer: returns the
     (n_centroids, dim) centroid matrix.
 
-    Init: the ``n_centroids`` rows with the smallest det_mix(id) (a
-    deterministic data-dependent sample — no RNG state).  Each Lloyd
+    Init: the ``n_centroids`` rows with the smallest det_mix(id XOR seed)
+    (a deterministic data-dependent sample — no RNG state; the seed folds
+    into the ordering so different seeds pick different inits).  Each Lloyd
     iteration is one assignment pass (Arrow matmul) plus ONE JVM-only
     shuffle: posexplode the assigned vectors and groupBy(cluster, pos)
     .avg — the element-wise mean without any Python aggregation.  The
@@ -572,7 +573,10 @@ def ivf_build(
 
     seeds = (
         df.select(id_col, vec_col)
-        .orderBy(det_mix(id_col).asc(), F.col(id_col).asc())
+        .orderBy(
+            det_mix(F.col(id_col).bitwiseXOR(F.lit(int(seed)))).asc(),
+            F.col(id_col).asc(),
+        )
         .limit(n_centroids)
         .collect()
     )

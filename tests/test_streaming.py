@@ -105,12 +105,16 @@ def test_stateful_streaming_dedup_across_microbatches(spark, tmp_path, mode, kin
     assert len(got) == len(set(got))  # each URL exactly once, across batches
 
 
-def test_crawl_ingest_stream_foreachbatch(spark, tmp_path):
+@pytest.mark.parametrize("mode,kind", [("exact", "bloom"), ("blob", "cuckoo")])
+def test_crawl_ingest_stream_foreachbatch(spark, tmp_path, mode, kind):
     """Streaming ingestion skin: 2 overlapping URL micro-batches ->
     stateful dedup -> fetch/render foreachBatch -> warehouse.  Each
     distinct URL is rendered exactly once, bytes/captions are identical
-    to the batch kernel's output for the same URLs, and every non-empty
-    epoch committed a manifest."""
+    to the batch kernel's output for the same URLs, every non-empty
+    epoch committed a manifest, and the wave/commit offset follows the
+    warehouse convention (outputs at wave=N covered by manifest N+1, so
+    read_as_of sees exactly the committed batches).  Parametrized over
+    both dedup state shapes (exact sets / bounded blob)."""
     import pandas as pd
 
     from rendler_spark.engine import make_fetch_render, PAGE_SCHEMA
@@ -131,7 +135,8 @@ def test_crawl_ingest_stream_foreachbatch(spark, tmp_path):
     )
     wh_dir = str(tmp_path / "stream_wh")
     q = crawl_ingest_stream(
-        spark, cfg, wh_dir, stream, checkpoint_dir=str(tmp_path / "ckpt")
+        spark, cfg, wh_dir, stream, checkpoint_dir=str(tmp_path / "ckpt"),
+        mode=mode, kind=kind,
     )
     q.awaitTermination(180)
 
@@ -150,6 +155,39 @@ def test_crawl_ingest_stream_foreachbatch(spark, tmp_path):
     for r in images:
         assert (bytes(r["bytes"]), r["caption"], r["phash"]) == ref[r["image_id"]]
     manifests = wh.all_manifests()
-    assert all(m["kind"] == "stream_batch" for m in manifests[1:]) or manifests
+    assert manifests, "stream produced no committed manifests"
+    assert all(m["kind"] == "stream_batch" for m in manifests)
     assert sum(m.get("n_fetched", 0) for m in manifests) == len(want_urls)
     assert wh.read(spark, "edges").count() > 0
+    # commit-offset convention: manifest V covers output waves < V, so the
+    # as-of-V read returns exactly the first V batches' rows
+    running = 0
+    for m in manifests:
+        running += m["n_fetched"]
+        assert wh.read_as_of(spark, "images", m["version"]).count() == running
+
+
+def test_crawl_ingest_epoch_replay_idempotent(spark, tmp_path):
+    """foreachBatch exactly-once: redelivering the SAME epoch after its
+    warehouse commit (crash between commit and checkpoint advance) must
+    not duplicate image/edge rows — the replay rewrites the same version
+    in place instead of appending a new one."""
+    import pandas as pd
+
+    from rendler_spark.sources.tables import Warehouse
+    from rendler_spark.streaming.crawl_stream import _ingest_batch
+    from rendler_spark.synthweb import WebConfig, page_url
+
+    cfg = WebConfig()
+    urls = page_url(cfg, pd.Series([0, 0, 1]), pd.Series([0, 1, 0])).tolist()
+    batch = spark.createDataFrame(pd.DataFrame({"url": urls}))
+    wh = Warehouse(str(tmp_path / "wh_replay"))
+    ingest = _ingest_batch(spark, cfg, wh)
+    ingest(batch, 0)
+    v1, n1 = wh.last_version(), wh.read(spark, "images").count()
+    ingest(batch, 0)  # redelivery of epoch 0 — must be a no-op rewrite
+    assert wh.last_version() == v1
+    assert wh.read(spark, "images").count() == n1 == len(urls)
+    ingest(batch, 1)  # a genuinely new epoch still appends
+    assert wh.last_version() == v1 + 1
+    assert wh.read(spark, "images").count() == 2 * len(urls)
