@@ -632,3 +632,88 @@ def ivf_topk(
         .orderBy(F.col("cos").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    wh,
+    centroids: np.ndarray | None = None,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    seed: int = 42,
+    table: str = "ivf_index",
+) -> np.ndarray:
+    """Materialize the IVF serving index: assign the full corpus ONCE and
+    write it as a Warehouse table Hive-sub-partitioned by ``cluster``
+    (the inverted lists), committing the centroid matrix + metadata in
+    the manifest so the index is self-describing.  This is the
+    build-once/probe-many split that makes IVF an index instead of a
+    per-query scan: ``ivf_topk_indexed`` reads ONLY the ``nprobe`` probed
+    cluster partitions (PartitionFilters, pinned by
+    tests/test_similarity.py), so each query touches ~nprobe/n_centroids
+    of the corpus bytes and the other inverted lists are never opened.
+    Returns the centroid matrix."""
+    if centroids is None:
+        centroids = ivf_build(df, id_col, vec_col, n_centroids, n_iter, seed)
+    assigned = ivf_assign(df, id_col, vec_col, centroids)
+    wh.overwrite_partition(table, 0, assigned, partition_by=["cluster"])
+    wh.commit(
+        (wh.last_version() or 0) + 1,
+        {
+            "kind": "ivf_index",
+            "table": table,
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "centroids": [[float(x) for x in row] for row in centroids],
+        },
+    )
+    return centroids
+
+
+def _ivf_load_meta(wh, table: str) -> dict:
+    last = wh.last_version()
+    if last is not None:
+        for v in range(last, wh.first_version() - 1, -1):
+            m = wh.manifest(v)
+            if m.get("kind") == "ivf_index" and m.get("table") == table:
+                return m
+    raise ValueError(f"no ivf_index manifest for table {table!r}")
+
+
+def ivf_probe(spark, wh, qvec: list[float], nprobe: int = 4, table: str = "ivf_index"):
+    """The probed candidate read: nearest-``nprobe`` centroids by cosine,
+    then a cluster-pruned scan of only those inverted-list partitions.
+    Split out so tests can pin the PartitionFilters; returns
+    (candidates, meta)."""
+    meta = _ivf_load_meta(wh, table)
+    centroids = np.asarray(meta["centroids"], dtype=np.float64)
+    q = _unit(np.asarray([qvec], dtype=np.float64))[0]
+    probe = np.argsort(-(_unit(centroids) @ q))[:nprobe]
+    cand = wh.read(spark, table, wave=0).filter(
+        F.col("cluster").isin([int(c) for c in probe])
+    )
+    return cand, meta
+
+
+def ivf_topk_indexed(
+    spark,
+    wh,
+    qvec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    table: str = "ivf_index",
+) -> DataFrame:
+    """IVF ANN served from a materialized :func:`ivf_index`: identical
+    results to :func:`ivf_topk` with the same centroids, but the per-query
+    cost is a partition-pruned read of the probed inverted lists + exact
+    cosine on that slice — no full-corpus assignment pass per query."""
+    cand, meta = ivf_probe(spark, wh, qvec, nprobe, table)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    out = cand.withColumn("cos", cosine_to_query(cand, vec_col, qvec))
+    return (
+        out.select(F.col("id").alias(id_col), F.round("cos", 4).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )

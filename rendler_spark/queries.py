@@ -1307,15 +1307,35 @@ def q_doc_bpe_tokens(spark, sf):
 
 @q("q_ann_ivf_topk")  # rows-only: approximate (recall pinned in pytest)
 def q_ann_ivf_topk(spark, sf):
-    """IVF ANN top-k (deterministic spherical k-means coarse quantizer,
-    nprobe nearest inverted lists, exact cosine on the probed slice) —
-    the FAISS-style alternative to q_ann_lsh_topk; q_ann_cosine_topk is
-    the exactness baseline for both."""
+    """IVF ANN top-k served from the MATERIALIZED index (deterministic
+    spherical k-means coarse quantizer -> cluster-partitioned inverted
+    lists -> partition-pruned probe of the nprobe nearest lists -> exact
+    cosine on the probed slice) — the FAISS-style build-once/probe-many
+    path; q_ann_lsh_topk is the signature alternative, q_ann_cosine_topk
+    the exactness baseline.  The index lives in a temp warehouse for the
+    harness; production builds it once per corpus snapshot and serves
+    many queries off the pruned reads (tests/test_similarity.py pins the
+    PartitionFilters and topk-parity with the index-free path)."""
+    import shutil
+    import tempfile
+
+    from rendler_spark.sources.tables import Warehouse
+
     e = t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
-    return similarity.ivf_topk(
-        e, "vec_id", "embedding", _query_vec(spark, sf), k=10,
-        n_centroids=16, nprobe=4, n_iter=3,
-    )
+    ix = tempfile.mkdtemp(prefix="rendler_q_ivf_")
+    try:
+        wh = Warehouse(ix)
+        similarity.ivf_index(
+            e, "vec_id", "embedding", wh, n_centroids=16, n_iter=3
+        )
+        out = similarity.ivf_topk_indexed(
+            spark, wh, _query_vec(spark, sf), k=10, nprobe=4
+        )
+        schema = out.schema
+        pdf = out.toPandas()
+    finally:
+        shutil.rmtree(ix, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema)
 
 
 @q(

@@ -228,3 +228,44 @@ def test_ivf_topk_recall_and_determinism(spark):
     }
     for r in approx:
         assert r["cos"] == exact_scores[r["vec_id"]]
+
+
+def test_ivf_index_partition_pruned_and_topk_parity(spark, tmp_path):
+    """The materialized IVF serving path: (a) the index table is written
+    Hive-sub-partitioned by cluster, (b) the probed read's cluster filter
+    reaches the parquet scan as a PartitionFilter (only nprobe inverted
+    lists are opened — the property that makes IVF an index at corpus
+    scale), and (c) the indexed top-k returns exactly the same rows as
+    the per-query-assignment ivf_topk with the same centroids."""
+    from rendler_spark.sources.tables import Warehouse
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 16)) * 4
+    vecs = np.concatenate(
+        [c + rng.normal(size=(40, 16)) for c in centers]
+    ).astype(np.float32)
+    q = (centers[5] + rng.normal(size=16) * 0.1).tolist()
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs]}
+        )
+    )
+    wh = Warehouse(str(tmp_path / "ivf_wh"))
+    cents = S.ivf_index(df, "vec_id", "embedding", wh, n_centroids=8, n_iter=3)
+    # (a) cluster sub-dirs exist inside the wave partition
+    assert list(wh.part_dir("ivf_index", 0).glob("cluster=*"))
+    # (b) the probed read is partition-pruned on cluster
+    cand, _meta = S.ivf_probe(spark, wh, q, nprobe=3)
+    plan = cand._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    part_section = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "cluster" in part_section, plan
+    # (c) identical results to the index-free path with the same centroids
+    served = S.ivf_topk_indexed(spark, wh, q, k=10, nprobe=3).collect()
+    direct = S.ivf_topk(
+        df, "vec_id", "embedding", q, k=10, nprobe=3, centroids=cents
+    ).collect()
+    assert [(r["vec_id"], r["cos"]) for r in served] == [
+        (r["vec_id"], r["cos"]) for r in direct
+    ]
