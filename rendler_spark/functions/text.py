@@ -68,3 +68,48 @@ def lang_guess(text: F.Column | str) -> F.Column:
         .otherwise("other")
         .alias("lang_pred")
     )
+
+
+def inverted_postings(
+    df,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    min_term_len: int = 1,
+    n_buckets: int = 16,
+):
+    """Bucketed inverted-index build: (term, bucket, bucket_df, postings).
+
+    A flat ``groupBy(term).agg(collect_set(doc_id))`` puts a stopword's
+    ENTIRE postings list into one aggregation cell — at corpus scale a
+    term appearing in 10^9 documents is an 8 GB array in one task (the
+    classic reducer bomb).  Here the doc axis is pre-sharded:
+    ``bucket = pmod(xxhash64(doc_id), n_buckets)`` rides the explode, the
+    aggregate runs per (term, bucket), and no cell can exceed the bucket's
+    share of the corpus no matter how hot the term is — buckets are a
+    partition of doc space, so per-bucket distinct counts and postings
+    are disjoint and exact.  n_buckets scales with corpus size (the 16
+    here is the sandbox setting; 10^4+ at 100 TB), and the bucketed rows
+    ARE the serving layout: term lookups read all buckets of one term
+    (co-located by the (term, bucket) hash), mergeable by concatenation
+    since each bucket's postings arrive sorted.
+
+    Exact term-level stats fall out by summation: df = sum(bucket_df)
+    over a term's buckets (disjointness), which is how the registered
+    q_inverted_index re-merges to an oracle-exact flat index at sf0.01.
+    """
+    toks = df.select(
+        F.col(doc_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    if min_term_len > 1:
+        toks = toks.filter(F.length("term") >= min_term_len)
+    return (
+        toks.withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+        )
+        .groupBy("term", "bucket")
+        .agg(
+            F.count_distinct("doc_id").alias("bucket_df"),
+            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        )
+    )

@@ -1348,21 +1348,25 @@ def q_ann_ivf_topk(spark, sf):
        GROUP BY term""",
 )
 def q_inverted_index(spark, sf):
-    """Inverted-index build: term -> sorted postings + document
-    frequency (the crawl -> search-index step; RENDLER's corpus exists to
-    be indexed).  One explode + one hash shuffle on the term; postings
-    arrays compare exactly (sorted distinct integers).  Restricted to
-    length>=5 terms so the driver row set stays bounded; the plan is
-    term-count-agnostic."""
-    d = t(spark, sf, "documents")
-    return (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-        .filter(F.length("term") >= 5)
-        .groupBy("term")
-        .agg(
-            F.count_distinct("doc_id").alias("df"),
-            F.sort_array(F.collect_set("doc_id")).alias("postings"),
-        )
+    """Inverted-index build: term -> sorted postings + document frequency
+    (the crawl -> search-index step; RENDLER's corpus exists to be
+    indexed).  Built BUCKETED (functions/text.inverted_postings): the
+    aggregate runs per (term, pmod(xxhash64(doc_id), B)) so a stopword's
+    postings never collapse into one reducer cell (the production layout;
+    boundedness pinned by tests/test_text.py's hot-term test), then
+    re-merged to the flat exact index here — per-bucket postings are
+    disjoint sorted doc sets, so df = sum(bucket_df) and the flat
+    postings are the sorted concatenation, keeping the driver oracle
+    bitwise.  Restricted to length>=5 terms so the driver row set stays
+    bounded; the plan is term-count-agnostic."""
+    from rendler_spark.functions.text import inverted_postings
+
+    b = inverted_postings(
+        t(spark, sf, "documents"), "doc_id", "text", min_term_len=5, n_buckets=16
+    )
+    return b.groupBy("term").agg(
+        F.sum("bucket_df").alias("df"),
+        F.sort_array(F.flatten(F.collect_list("postings"))).alias("postings"),
     )
 
 

@@ -47,3 +47,52 @@ def test_quality_and_fingerprint(spark, docs):
     import hashlib
 
     assert rows[1]["fp"] == hashlib.md5(ROWS[0][1].encode()).hexdigest()
+
+
+def test_inverted_postings_bucketed_bounded_and_exact(spark):
+    """Reducer-bomb guard: a stopword-grade term present in EVERY doc
+    must land in many (term, bucket) cells, each holding only its
+    bucket's share of the postings — and the bucketed rows must re-merge
+    to exactly the flat collect_set index."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    n, B = 200, 8
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            # "hot" in every doc; "rare7" only in doc_id % 29 == 0
+            "text": [
+                "hot filler" + (" rare7" if i % 29 == 0 else "") for i in range(n)
+            ],
+        }
+    )
+    d = spark.createDataFrame(pdf)
+    b = T.inverted_postings(d, "doc_id", "text", n_buckets=B).collect()
+    hot = [r for r in b if r["term"] == "hot"]
+    assert len(hot) == B  # the hot term split across all buckets
+    sizes = [len(r["postings"]) for r in hot]
+    assert max(sizes) <= 3 * n // B  # no cell holds a corpus-scale share
+    assert all(r["bucket_df"] == len(r["postings"]) for r in b)
+    # disjoint + exact: merged buckets == flat index, for every term
+    merged = {}
+    dfs = {}
+    for r in b:
+        merged.setdefault(r["term"], []).extend(r["postings"])
+        dfs[r["term"]] = dfs.get(r["term"], 0) + r["bucket_df"]
+    flat = {
+        r["term"]: (r["df"], r["postings"])
+        for r in d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .groupBy("term")
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        )
+        .collect()
+    }
+    assert set(merged) == set(flat)
+    for term, (want_df, want_postings) in flat.items():
+        assert dfs[term] == want_df
+        assert sorted(merged[term]) == want_postings
