@@ -1492,6 +1492,28 @@ def q_percentiles(spark, sf):
     )
 
 
+@q("q_percentiles_approx")  # rows-only: sketch quantiles are engine-specific
+def q_percentiles_approx(spark, sf):
+    """The 100 TB percentile path: approx_percentile (Greenwald-Khanna
+    sketch, mergeable partials, bounded memory) as the cheap twin of
+    q_percentiles' exact sort-based aggregate — same trade as
+    q_count_distinct vs q_approx_count_distinct.  accuracy=1000 bounds
+    the RANK error at 1/1000 of the group; tests/test_queries_oracle.py
+    pins each approx value inside the exact [p-1%, p+1%] quantile band.
+    Sketch internals differ per engine, so the driver records rows-only."""
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("approx_percentile(l_quantity, 0.5, 1000)").alias("p50"),
+            F.expr("approx_percentile(l_quantity, 0.95, 1000)").alias("p95"),
+            F.expr("approx_percentile(l_extendedprice, 0.99, 1000)").alias(
+                "p99_price"
+            ),
+        )
+    )
+
+
 @q(
     "q_histogram",
     """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
@@ -1710,6 +1732,186 @@ def q_audio_features(spark, sf):
         }
     )
     return audio_features(spark.createDataFrame(pdf))
+
+
+_E2E_QUALITY_SQL = """(CASE WHEN len(regexp_split_to_array(text, '\\s+'))
+                           BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.3 END)
+                * (1.0 - least(((length(text)
+                                 - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                                / greatest(length(text), 1)) * 5, 1.0))
+                * (CASE WHEN CAST((length(text) - length(replace(text, 'the', '')))
+                             / 3 AS INTEGER) > 0 THEN 1.0 ELSE 0.7 END)"""
+
+
+@q(
+    "q_corpus_e2e",
+    f"""WITH scored AS (
+         SELECT doc_id, text, {_E2E_QUALITY_SQL} AS quality, md5(text) AS fp
+         FROM documents),
+       kept AS (
+         SELECT s.doc_id, s.text, s.quality
+         FROM scored s
+         JOIN (SELECT fp, min(doc_id) AS keep_id FROM scored GROUP BY fp) w
+           ON s.fp = w.fp AND s.doc_id = w.keep_id
+         WHERE s.quality >= 0.5),
+       langed AS (
+         SELECT doc_id, text, quality,
+                CASE WHEN length(text) - length(replace(text, ' the ', ''))
+                          >= 10 THEN 'en_heavy'
+                     WHEN contains(text, 'spark') THEN 'tech'
+                     ELSE 'other' END AS lang_pred,
+                (doc_id % 2147483648) * 2654435761 % 4294967296 AS mix
+         FROM kept),
+       mixed AS (
+         SELECT doc_id, text, quality, lang_pred FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY lang_pred ORDER BY mix, doc_id) AS rn
+           FROM langed)
+         WHERE rn <= CASE lang_pred WHEN 'en_heavy' THEN 100
+                                    WHEN 'tech' THEN 50 ELSE 25 END),
+       toks AS (
+         SELECT doc_id, lang_pred, quality,
+                CAST((doc_id % 2147483648) * 2654435761 % 4294967296 % 8
+                     AS BIGINT) AS shard,
+                len(string_split(text, ' ')) AS n_tokens
+         FROM mixed)
+       SELECT doc_id, lang_pred, quality, shard,
+              CAST(floor((run - n_tokens) / 2000) AS BIGINT) AS chunk_id
+       FROM (SELECT *, sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS run
+             FROM toks)""",
+)
+def q_corpus_e2e(spark, sf):
+    """The end-to-end 100 TB corpus-curation flagship as ONE oracle-exact
+    chain: quality-score every document -> exact content dedup (md5 fp,
+    keep smallest doc_id) -> quality gate -> per-language corpus mix
+    (salted exact top-K under det_mix preference order) -> token-budget
+    sequence packing into hash shards.  Every stage is an
+    already-verified operator (q_curation_pipeline, q_corpus_mix,
+    q_pack_sequences); this registers their COMPOSITION so the driver
+    proves the stages compose bitwise, not just individually.  One
+    documents scan feeds the whole chain (pinned in tests/test_plans.py);
+    the shuffles are the fp window, the (lang, salt) mix windows, and the
+    shard packing window — each keyed exactly by what the stage needs.
+    q_corpus_e2e_full adds the non-SQL LSH near-dup stage."""
+    from rendler_spark.functions import text as textfns
+    from rendler_spark.functions.sampling import det_mix, pack_sequences
+    from rendler_spark.operators.politeness import budgeted_topk
+
+    d = t(spark, sf, "documents").select(
+        "doc_id", "text", textfns.quality_score("text"), textfns.fingerprint("text")
+    )
+    w = Window.partitionBy("fp")
+    kept = (
+        d.withColumn("keep_id", F.min("doc_id").over(w))
+        .filter((F.col("doc_id") == F.col("keep_id")) & (F.col("quality") >= 0.5))
+        .drop("keep_id", "fp")
+    )
+    langed = kept.select(
+        "doc_id", "text", "quality",
+        textfns.lang_guess(F.col("text")), det_mix("doc_id").alias("mix"),
+    )
+    quota = (
+        F.when(F.col("lang_pred") == "en_heavy", 100)
+        .when(F.col("lang_pred") == "tech", 50)
+        .otherwise(25)
+    )
+    picked, _rest = budgeted_topk(
+        langed.withColumn("quota", quota),
+        host_col="lang_pred",
+        order_cols=("mix", "doc_id"),
+        budget_col="quota",
+        url_col="doc_id",
+    )
+    toks = picked.select(
+        "doc_id", "lang_pred", "quality",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    packed = pack_sequences(toks, "doc_id", "n_tokens", budget=2000, n_shards=8)
+    return packed.select("doc_id", "lang_pred", "quality", "shard", "chunk_id")
+
+
+@q("q_corpus_e2e_full")  # rows-only: the SRP-LSH near-dup stage isn't SQL
+def q_corpus_e2e_full(spark, sf):
+    """q_corpus_e2e with the embedding near-dup stage inserted between
+    exact dedup and corpus mix — the full curation chain: quality ->
+    exact dedup -> LSH near-dup clusters (dedup_clusters keeps the
+    smallest doc_id per cosine>=0.9 cluster) -> mix -> pack.
+
+    Non-vacuous by construction: each document gets a deterministic
+    companion (doc_id + 1e6, text + ' copy', embedding * 1.001).  The
+    companion's md5 differs, so EXACT dedup keeps it — only the
+    embedding stage can catch it (collinear vectors, cosine exactly 1),
+    which is precisely the exact-misses/near-dup-catches split this
+    stage exists for.  Every companion must therefore be removed before
+    the mix (asserted in tests/test_queries_oracle.py)."""
+    from rendler_spark.functions import text as textfns
+    from rendler_spark.functions.sampling import det_mix, pack_sequences
+    from rendler_spark.operators.components import dedup_clusters
+    from rendler_spark.operators.politeness import budgeted_topk
+
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" copy")).alias("text"),
+        )
+    )
+    emb = t(spark, sf, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    emb_all = emb.unionByName(
+        emb.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.transform(
+                "embedding", lambda x: (x * F.lit(1.001)).cast("float")
+            ).alias("embedding"),
+        )
+    )
+    d = corpus.select(
+        "doc_id", "text", textfns.quality_score("text"), textfns.fingerprint("text")
+    )
+    w = Window.partitionBy("fp")
+    kept = (
+        d.withColumn("keep_id", F.min("doc_id").over(w))
+        .filter((F.col("doc_id") == F.col("keep_id")) & (F.col("quality") >= 0.5))
+        .drop("keep_id", "fp")
+    )
+    pairs = similarity.embedding_near_duplicates(
+        emb_all.join(kept.select("doc_id"), "doc_id").select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        ),
+        "vec_id",
+        "embedding",
+        threshold=0.9,
+    )
+    canon = dedup_clusters(pairs, kept, "doc_id")
+    kept2 = kept.join(canon, "doc_id").filter(
+        F.col("canonical") == F.col("doc_id")
+    ).drop("canonical")
+    langed = kept2.select(
+        "doc_id", "text", "quality",
+        textfns.lang_guess(F.col("text")), det_mix("doc_id").alias("mix"),
+    )
+    quota = (
+        F.when(F.col("lang_pred") == "en_heavy", 100)
+        .when(F.col("lang_pred") == "tech", 50)
+        .otherwise(25)
+    )
+    picked, _rest = budgeted_topk(
+        langed.withColumn("quota", quota),
+        host_col="lang_pred",
+        order_cols=("mix", "doc_id"),
+        budget_col="quota",
+        url_col="doc_id",
+    )
+    toks = picked.select(
+        "doc_id", "lang_pred", "quality",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    packed = pack_sequences(toks, "doc_id", "n_tokens", budget=2000, n_shards=8)
+    return packed.select("doc_id", "lang_pred", "quality", "shard", "chunk_id")
 
 
 # ================================================= driver-window ordering

@@ -170,3 +170,13 @@ def test_corpus_mix_windows_are_salted(spark):
     phase 1 partitions by (lang, salt)."""
     s = _explain(spark, "q_corpus_mix")
     assert "_salt" in s
+
+
+def test_corpus_e2e_single_documents_scan(spark):
+    """The e2e curation chain must feed every stage (quality, dedup, mix,
+    pack) from ONE documents scan — a chain that re-reads the corpus per
+    stage multiplies 100 TB of scan I/O by the stage count.  Also pins
+    the salted mix windows inside the composition."""
+    s = _explain(spark, "q_corpus_e2e")
+    assert s.count("documents.parquet") == 1, s
+    assert "_salt" in s

@@ -71,6 +71,39 @@ def test_rows_only_queries_run(spark, name):
     assert len(df.columns) > 0
 
 
+def test_approx_percentiles_bounded_error(spark):
+    """q_percentiles_approx must land inside the exact quantile band:
+    approx_percentile(accuracy=1000) guarantees rank error <= 1/1000, so
+    with 10x slack each approx p-quantile must lie within the exact
+    [p-0.01, p+0.01] quantile values of its group."""
+    import pyspark.sql.functions as F
+
+    approx = {
+        r["l_returnflag"]: r
+        for r in QUERIES["q_percentiles_approx"](spark, SF).collect()
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    specs = [("p50", "l_quantity", 0.5), ("p95", "l_quantity", 0.95),
+             ("p99_price", "l_extendedprice", 0.99)]
+    bands = li.groupBy("l_returnflag").agg(
+        *[
+            F.expr(f"percentile({col}, {max(p - 0.01, 0.0)})").alias(f"{name}_lo")
+            for name, col, p in specs
+        ],
+        *[
+            F.expr(f"percentile({col}, {min(p + 0.01, 1.0)})").alias(f"{name}_hi")
+            for name, col, p in specs
+        ],
+    ).collect()
+    assert approx and len(bands) == len(approx)
+    for row in bands:
+        a = approx[row["l_returnflag"]]
+        for name, _col, _p in specs:
+            assert row[f"{name}_lo"] <= a[name] <= row[f"{name}_hi"], (
+                row["l_returnflag"], name, a[name], row[f"{name}_lo"], row[f"{name}_hi"]
+            )
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
@@ -101,3 +134,17 @@ def test_driver_window_composition():
     assert family <= window
     assert set(DEFERRED) <= set(names[50:])  # twins stay out of the window
     assert not family & set(DEFERRED)
+
+
+def test_corpus_e2e_full_near_dup_stage_works(spark):
+    """The full chain's LSH near-dup stage must remove every planted
+    companion (exact-dedup-proof, embedding-collinear) BEFORE the mix,
+    and the surviving corpus must equal the exact chain's output (the
+    companions are the only delta between the two pipelines)."""
+    full = QUERIES["q_corpus_e2e_full"](spark, SF).toPandas()
+    exact = QUERIES["q_corpus_e2e"](spark, SF).toPandas()
+    assert (full["doc_id"] >= 1_000_000).sum() == 0
+    key = ["doc_id", "lang_pred", "quality", "shard", "chunk_id"]
+    a = full[key].sort_values("doc_id").reset_index(drop=True)
+    b = exact[key].sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
