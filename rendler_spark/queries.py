@@ -1588,27 +1588,16 @@ def q_degree_stats(spark, sf):
 def q_triangle_count(spark, sf):
     """Exact triangle count over the undirected crawl graph — the
     clustering-structure metric (link farms show up as dense triangle
-    clusters).  Standard scale shape: orient every edge low->high so
-    each triangle is counted ONCE as (a<b<c) and the self-joins stay on
-    oriented (thus deduplicated, skew-reduced) edges; two equi-joins on
-    node keys, no cartesian anywhere.  Production adds degree-based
-    orientation (low-degree first) to bound the wedge set; id-orientation
-    is the same plan on this graph."""
-    e = _graph_edges2(spark, sf)
-    o = (
-        e.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-    )
-    e1 = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = o.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = o.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    return (
-        e1.join(e2, "y")
-        .join(e3, ["x", "z"])
-        .agg(F.count("*").cast("long").alias("n_triangles"))
-    )
+    clusters).  Runs the degree-oriented chain-join operator
+    (operators/components.triangle_count): edges point low-degree ->
+    high-degree so wedge generation stays bounded even on power-law
+    hubs (the star-graph test in tests/test_components.py pins ZERO
+    hub-middle wedges); two equi-joins on node keys, no cartesian
+    anywhere.  The count is orientation-invariant, so the SQL oracle
+    orients by id alone."""
+    from rendler_spark.operators.components import triangle_count
+
+    return triangle_count(_graph_edges2(spark, sf))
 
 
 @q(

@@ -81,3 +81,44 @@ def test_pagerank_matches_numpy_power_iteration(spark, graph):
     for node in nodes:
         assert got[node] == pytest.approx(r[idx[node]], rel=1e-9), node
     assert sum(got.values()) == pytest.approx(n, rel=1e-6)  # mass conserved
+
+
+def test_triangle_count_degree_orientation_kills_hub_wedges(spark):
+    """Star graph (one hub, n spokes, hub id in the MIDDLE of the id
+    range): id-orientation would generate ~(n/2)^2 wedges at the hub;
+    degree orientation points every edge INTO the hub (outdegree 0), so
+    the wedge frame must be EMPTY and the count 0.  Then a known-count
+    sanity: K4 has exactly 4 triangles and linear wedge volume."""
+    import pandas as pd
+
+    from rendler_spark.operators.components import (
+        orient_edges_by_degree,
+        triangle_count,
+        triangle_wedges,
+    )
+
+    n = 200
+    hub = n // 2  # spokes occupy 0..n, skipping the hub id
+    spokes = [i for i in range(n + 1) if i != hub]
+    star = spark.createDataFrame(
+        pd.DataFrame({"src": [hub] * len(spokes), "dst": spokes})
+    )
+    assert triangle_wedges(orient_edges_by_degree(star)).count() == 0
+    assert triangle_count(star).first()["n_triangles"] == 0
+    # id-orientation control: the same star yields quadratic wedges
+    import pyspark.sql.functions as F
+
+    und = star.select(
+        F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y")
+    ).distinct()
+    id_wedges = triangle_wedges(und).count()
+    # hub-middle wedges = indegree * outdegree = 100 * 100
+    assert id_wedges == hub * (len(spokes) - hub)
+
+    k4 = spark.createDataFrame(
+        pd.DataFrame(
+            {"src": [0, 0, 0, 1, 1, 2], "dst": [1, 2, 3, 2, 3, 3]}
+        )
+    )
+    assert triangle_count(k4).first()["n_triangles"] == 4
+    assert triangle_wedges(orient_edges_by_degree(k4)).count() <= 6
