@@ -21,16 +21,24 @@ BIG = {
     "lineitem": "l_orderkey + rep * 1000000000 AS l_orderkey",
     "orders": "o_orderkey + rep * 1000000000 AS o_orderkey",
     "events": "event_id + rep * 1000000000 AS event_id",
+    # near-identical replicas (tail token differs): the shape a dedup
+    # pipeline actually faces at scale — MinHash/LSH must bucket the 10
+    # copies together and the verify stage sees real candidate volume
+    "documents": "doc_id + rep * 1000000000 AS doc_id, "
+    "text || ' r' || rep AS text",
 }
-SMALL = "region nation customer supplier part documents embeddings".split()
+SMALL = "region nation customer supplier part embeddings".split()
 
 
 def ensure_sf1(sf01_dir: str, out_dir: str = "/tmp/rendler_sf1") -> str:
     """Create (or reuse) the sf1 dir; returns its path.  Idempotent: a
     completed build is detected via a marker file."""
+    layout = "v2"  # bump when BIG/SMALL change so stale dirs rebuild
     marker = os.path.join(out_dir, "_COMPLETE")
     if os.path.exists(marker):
-        return out_dir
+        with open(marker) as f:
+            if f.read().strip() == layout:
+                return out_dir
     import duckdb
 
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -47,5 +55,5 @@ def ensure_sf1(sf01_dir: str, out_dir: str = "/tmp/rendler_sf1") -> str:
     for t in SMALL:
         shutil.copyfile(f"{sf01_dir}/{t}.parquet", f"{out_dir}/{t}.parquet")
     with open(marker, "w") as f:
-        f.write("ok\n")
+        f.write(layout + "\n")
     return out_dir
