@@ -3,9 +3,10 @@
 
 The driver's CORRECTNESS_r{N}.json covers only the first 50 registered
 queries; this script runs the SAME compare over EVERY entry in
-``rendler_spark.queries.QUERIES`` (including the 10 deferred past the
-driver window — see queries.py DEFERRED) so each registered operator has
-committed, reproducible evidence each round.
+``rendler_spark.queries.QUERIES`` (including everything deferred past the
+driver window — see queries.py WINDOW/DEFERRED; the window rotates each
+round so all families eventually get external rows too) so each
+registered operator has committed, reproducible evidence each round.
 
 Compare per query, mirroring the driver contract:
   * rows_match    — Spark row count == DuckDB oracle row count
