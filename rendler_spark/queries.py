@@ -1642,6 +1642,35 @@ def q_tpch_q3_shape(spark, sf):
 
 
 @q(
+    "q_tpch_q4_shape",
+    """SELECT o_orderpriority, count(*) AS n
+       FROM orders o
+       WHERE o.o_orderdate >= TIMESTAMP '1994-01-01'
+         AND o.o_orderdate < TIMESTAMP '1994-04-01'
+         AND EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey
+                       AND l.l_discount > 0.05)
+       GROUP BY o_orderpriority""",
+)
+def q_tpch_q4_shape(spark, sf):
+    """TPC-H Q4-shaped composite (order-priority checking): filtered
+    orders scan -> EXISTS semi-join against a filtered lineitem scan ->
+    count per priority.  Catalyst plans the EXISTS as a left-semi join
+    (no fanout, no dedup needed) with both date/discount filters pushed
+    to the scans.  (The testdata carries no commit/receipt dates;
+    l_discount > 0.05 keeps the identical plan shape.)"""
+    o = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1994-04-01")
+    )
+    li = t(spark, sf, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
     "q_tpch_q5_shape",
     """SELECT n.n_name,
               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
@@ -1684,6 +1713,61 @@ def q_tpch_q5_shape(spark, sf):
         .groupBy("n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))
     )
+
+
+@q(
+    "q_bucketed_join",
+    """SELECT o.o_orderpriority,
+              count(*) AS n,
+              CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       GROUP BY o.o_orderpriority""",
+)
+def q_bucketed_join(spark, sf):
+    """Shuffle-free fact-fact join via bucketed storage
+    (sources/bucketed.py): both sides written bucketBy(8, orderkey), the
+    join reads bucket i of each table into the same task — NO Exchange
+    in the join plan (pinned by tests/test_bucketed.py).  At 100 TB this
+    amortizes the dominant recurring shuffle of a repeated fact-fact
+    join into a one-time write; the bucketing is purely physical, so the
+    DuckDB oracle is the plain join (answers must match bitwise —
+    DECIMAL sum, same discipline as q_groupby_agg)."""
+    import shutil
+    import tempfile
+
+    from rendler_spark.sources import bucketed as B
+
+    loc = tempfile.mkdtemp(prefix="rendler_q_bucket_")
+    db = "rendler_qbkt"
+    try:
+        B.create_bucket_db(spark, db, loc)
+        B.write_bucketed(
+            t(spark, sf, "orders").select("o_orderkey", "o_orderpriority"),
+            f"{db}.orders_b", "o_orderkey", 8,
+        )
+        B.write_bucketed(
+            t(spark, sf, "lineitem").select(
+                F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+            ),
+            f"{db}.lineitem_b", "o_orderkey", 8,
+        )
+        out = (
+            B.colocated_join(spark, f"{db}.orders_b", f"{db}.lineitem_b",
+                             "o_orderkey")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("qty"),
+            )
+        )
+        schema = out.schema
+        pdf = out.toPandas()
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(loc, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema)
 
 
 @q("q_audio_features")  # rows-only: binary decode isn't SQL-expressible
