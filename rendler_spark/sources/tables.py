@@ -208,3 +208,77 @@ class Warehouse:
                 p.unlink()
                 removed += 1
         return removed
+
+    def rewrite_data_files(
+        self,
+        spark: SparkSession,
+        table: str,
+        target_bytes: int = 128 << 20,
+        min_files: int = 2,
+    ) -> dict:
+        """Iceberg's ``rewrite_data_files`` (bin-pack) over this layout:
+        merge small parquet files WITHIN each leaf partition dir so file
+        count tracks data size, not commit count.  The streaming skin
+        appends one wave dir per micro-batch and the wave engine one per
+        wave — at 10^10 scale that is the classic small-files problem:
+        every downstream scan pays per-file open/footer costs and the
+        driver pays per-file listing.  Rewriting INSIDE each dir leaves
+        semantics and metadata untouched (manifests and readers reference
+        partition DIRS, not files; partition columns live in dir names,
+        which are preserved).
+
+        Crash safety is dir-swap + self-repair: new files land in
+        ``<dir>.__rewrite__``, the old dir moves to ``<dir>.__old__``,
+        the new dir renames into place, then the old dir is deleted.  A
+        crash leaves either a stray ``__rewrite__`` (garbage, removed on
+        next call) or a ``__old__`` without its main dir (restored on
+        next call) — never a missing or doubled partition.  Returns
+        {"rewritten": n_dirs, "files_before": x, "files_after": y}.
+        """
+        base = self.table_dir(table)
+        if not base.exists():
+            return {"rewritten": 0, "files_before": 0, "files_after": 0}
+        # self-repair leftovers from a previous crash
+        for stray in base.rglob("*.__rewrite__"):
+            shutil.rmtree(stray)
+        for old in base.rglob("*.__old__"):
+            main = old.with_name(old.name[: -len(".__old__")])
+            if main.exists():
+                shutil.rmtree(old)
+            else:
+                os.replace(old, main)
+
+        def leaf_dirs(d: Path):
+            subs = [c for c in d.iterdir() if c.is_dir()]
+            if subs:
+                for c in subs:
+                    yield from leaf_dirs(c)
+            else:
+                yield d
+
+        stats = {"rewritten": 0, "files_before": 0, "files_after": 0}
+        for leaf in list(leaf_dirs(base)):
+            files = list(leaf.glob("*.parquet"))
+            if not files:
+                continue
+            total = sum(f.stat().st_size for f in files)
+            n_target = max(1, -(-total // target_bytes))
+            stats["files_before"] += len(files)
+            if len(files) < max(min_files, n_target + 1):
+                stats["files_after"] += len(files)
+                continue
+            rewrite = leaf.with_name(leaf.name + ".__rewrite__")
+            old = leaf.with_name(leaf.name + ".__old__")
+            shutil.rmtree(rewrite, ignore_errors=True)
+            (
+                spark.read.parquet(str(leaf))
+                .coalesce(int(n_target))
+                .write.mode("overwrite")
+                .parquet(str(rewrite))
+            )
+            os.replace(leaf, old)
+            os.replace(rewrite, leaf)
+            shutil.rmtree(old)
+            stats["rewritten"] += 1
+            stats["files_after"] += len(list(leaf.glob("*.parquet")))
+        return stats

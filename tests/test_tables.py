@@ -97,3 +97,63 @@ def test_expire_snapshots_bounds_metadata_keeps_resume(spark, wh):
     assert wh.read(spark, "seen").count() == 12
     # time travel within the retained horizon still works
     assert wh.read_as_of(spark, "seen", 4).count() == 10
+
+
+def test_rewrite_data_files_binpacks_and_preserves_rows(spark, tmp_path):
+    """Small-files maintenance: many files per wave dir (one stream
+    micro-batch or high-parallelism write each) bin-pack down to the
+    byte-target count; rows, schema, partition columns, and as-of reads
+    are unchanged; sub-partitioned (shard=) tables rewrite per leaf."""
+    import pyspark.sql.functions as F
+
+    from rendler_spark.sources.tables import Warehouse
+
+    wh = Warehouse(str(tmp_path / "wh_rw"))
+    df = spark.range(0, 2000).select(
+        F.col("id"), F.pmod("id", F.lit(4)).cast("int").alias("shard")
+    )
+    for wave in range(3):
+        wh.overwrite_partition("seen", wave, df.repartition(8), ["shard"])
+        wh.commit(wave, {"kind": "wave"})
+    before = {
+        (r["id"], r["shard"], r["wave"])
+        for r in wh.read(spark, "seen").collect()
+    }
+    n_files_before = len(list((tmp_path / "wh_rw" / "seen").rglob("*.parquet")))
+    stats = wh.rewrite_data_files(spark, "seen", target_bytes=128 << 20)
+    assert stats["rewritten"] == 12  # 3 waves x 4 shard leaves
+    assert stats["files_after"] < stats["files_before"] == n_files_before
+    n_files_after = len(list((tmp_path / "wh_rw" / "seen").rglob("*.parquet")))
+    assert n_files_after == stats["files_after"] == 12  # 1 file per leaf
+    after = {
+        (r["id"], r["shard"], r["wave"])
+        for r in wh.read(spark, "seen").collect()
+    }
+    assert after == before
+    assert wh.read_as_of(spark, "seen", 1).count() == 2 * 2000
+    # idempotent: a second pass rewrites nothing
+    assert wh.rewrite_data_files(spark, "seen")["rewritten"] == 0
+
+
+def test_rewrite_data_files_crash_repair(spark, tmp_path):
+    """Self-repair: a crash that left <dir>.__old__ without its main dir
+    (or a stray .__rewrite__) is healed on the next call with no row
+    loss."""
+    import os
+    import shutil
+
+    from rendler_spark.sources.tables import Warehouse
+
+    wh = Warehouse(str(tmp_path / "wh_cr"))
+    df = spark.range(0, 500)
+    wh.overwrite_partition("edges", 0, df.repartition(4))
+    wh.commit(0, {"kind": "wave"})
+    d = wh.part_dir("edges", 0)
+    # simulate: crash after moving old aside, before new moved in
+    os.replace(d, d.with_name(d.name + ".__old__"))
+    shutil.os.makedirs(d.with_name(d.name + ".__rewrite__"))
+    stats = wh.rewrite_data_files(spark, "edges")
+    assert wh.read(spark, "edges").count() == 500
+    assert not list((tmp_path / "wh_cr" / "edges").glob("*__old__*"))
+    assert not list((tmp_path / "wh_cr" / "edges").glob("*__rewrite__*"))
+    assert stats["rewritten"] == 1  # repaired dir then bin-packed 4->1
