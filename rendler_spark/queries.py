@@ -1770,6 +1770,40 @@ def q_bucketed_join(spark, sf):
     return spark.createDataFrame(pdf, schema)
 
 
+@q("q_image_stats")  # rows-only: binary decode isn't SQL-expressible
+def q_image_stats(spark, sf):
+    """Image corpus-filter features (per-channel mean/std) over a
+    deterministic synthesized image table — one gradient tile per event
+    user, REAL encode/decode through the engine's numpy codecs
+    (raw/png/qlossy — no external imaging lib involved), Arrow-batched
+    extraction via functions/multimodal.image_stats.  Closed-form
+    correctness pinned in tests/test_multimodal.py; this registers the
+    decode+extract plumbing (the input_hint bytes/fmt column shape) with
+    the driver harness."""
+    import numpy as np
+    import pandas as pd
+
+    from rendler_spark import codecs
+    from rendler_spark.functions.multimodal import image_stats
+
+    users = sorted(
+        int(r["user_id"])
+        for r in t(spark, sf, "events").select("user_id").distinct().collect()
+    )[:48]
+    fmts = ["raw", "png", "qlossy"]
+    rows = []
+    for u in users:
+        w, h = 16 + (u % 5) * 4, 12 + (u % 3) * 4
+        px = np.zeros((h, w, 3), dtype=np.uint8)
+        px[:, :, 0] = (np.arange(w) * 255 // max(w - 1, 1))[None, :]
+        px[:, :, 1] = (np.arange(h) * 255 // max(h - 1, 1))[:, None]
+        px[:, :, 2] = (u * 37) % 256
+        fmt = fmts[u % 3]
+        rows.append((f"img{u}", codecs.encode(px, fmt), fmt))
+    pdf = pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+    return image_stats(spark.createDataFrame(pdf))
+
+
 @q("q_audio_features")  # rows-only: binary decode isn't SQL-expressible
 def q_audio_features(spark, sf):
     """Audio corpus-filter features (duration/RMS/peak/ZCR) over a

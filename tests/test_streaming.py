@@ -191,3 +191,64 @@ def test_crawl_ingest_epoch_replay_idempotent(spark, tmp_path):
     ingest(batch, 1)  # a genuinely new epoch still appends
     assert wh.last_version() == v1 + 1
     assert wh.read(spark, "images").count() == 2 * len(urls)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics: once the watermark is established past a
+    window's end, a straggler row for that window is DROPPED from the
+    append-mode aggregation (bounded state — at 10^10 events/day the
+    alternative is unbounded window state).  Spark uses the PREVIOUS
+    trigger's watermark to filter late events (the 3.4+ late-events /
+    eviction split), so the watermark advanced by batch 0 takes filtering
+    effect in batch 2: batch 0 advances it to 13:50, batch 1 confirms it,
+    batch 2 re-sends a 10:00 event (window long closed -> dropped,
+    visible in numRowsDroppedByWatermark) plus an on-time event."""
+    import time
+
+    import pandas as pd
+
+    batches = [
+        pd.DataFrame(
+            {"ts": pd.to_datetime(
+                ["2026-01-01 12:05", "2026-01-01 12:40", "2026-01-01 14:00"]
+            ), "value": [1.0, 1.0, 1.0]}
+        ),
+        pd.DataFrame(
+            {"ts": pd.to_datetime(["2026-01-01 14:05"]), "value": [1.0]}
+        ),
+        pd.DataFrame(
+            {"ts": pd.to_datetime(["2026-01-01 10:00", "2026-01-01 14:10"]),
+             "value": [1.0, 1.0]}
+        ),
+    ]
+    src = str(tmp_path / "late_src")
+    for pdf in batches:  # distinct mtimes fix the file-source batch order
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(2)
+    stream = (
+        spark.readStream.schema("ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = W.tumbling_counts(W.with_watermark(stream, delay="10 minutes"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+         if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    rows = {
+        r["ws"].strftime("%H:%M"): r["n"]
+        for r in spark.sql("SELECT * FROM t_late").collect()
+    }
+    assert dropped == 1  # exactly the straggler
+    assert rows.get("12:00") == 2  # on-time rows emitted on eviction
+    assert "10:00" not in rows  # the late row's window never re-opens
