@@ -157,7 +157,8 @@ def main() -> None:
         # near-identical documents), not just scan/agg queries
         for name in ("q_groupby_agg", "q_shuffle_join", "q_order_by",
                      "q_tumbling_window", "q_count_distinct",
-                     "q_topk_per_group", "q_anti_join", "q_minhash_pairs"):
+                     "q_topk_per_group", "q_anti_join", "q_minhash_pairs",
+                     "q_corpus_e2e"):
             t0 = time.monotonic()
             QUERIES[name](spark, sf1_dir).write.format("noop").mode(
                 "overwrite"

@@ -1841,6 +1841,81 @@ def q_audio_features(spark, sf):
     return audio_features(spark.createDataFrame(pdf))
 
 
+@q(
+    "q_term_topk",
+    """SELECT term, n FROM (
+         SELECT term, count(*) AS n FROM (
+           SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+         WHERE length(term) >= 3 GROUP BY term)
+       ORDER BY n DESC, term LIMIT 20""",
+)
+def q_term_topk(spark, sf):
+    """Vocabulary heavy-hitters: top-20 terms by corpus frequency — the
+    vocab-building / stopword-discovery aggregate of a tokenizer
+    pipeline.  explode -> hash aggregate (partial map-side combine eats
+    the hot terms before the shuffle: a stopword contributes ONE partial
+    row per task, not one shuffled row per occurrence) ->
+    TakeOrderedAndProject; deterministic tiebreak by term."""
+    d = t(spark, sf, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.length("term") >= 3)
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(20)
+    )
+
+
+@q(
+    "q_null_semantics",
+    """SELECT o_orderkey,
+              coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_norm,
+              (o_totalprice IS NOT DISTINCT FROM NULL) AS price_is_null,
+              CASE WHEN o_totalprice IS NULL THEN -1.0
+                   ELSE round(o_totalprice, 0) END AS price_bucket
+       FROM orders WHERE o_orderkey % 97 = 0""",
+)
+def q_null_semantics(spark, sf):
+    """NULL-semantics surface: COALESCE / NULLIF / null-safe equality
+    (Spark <=> == ANSI IS NOT DISTINCT FROM) / CASE-over-NULL — the
+    three-valued-logic family every SQL engine must agree on, probed
+    bitwise against DuckDB."""
+    o = t(spark, sf, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    return o.select(
+        "o_orderkey",
+        F.coalesce(
+            F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")
+        ).alias("status_norm"),
+        F.col("o_totalprice").eqNullSafe(F.lit(None).cast("double")).alias(
+            "price_is_null"
+        ),
+        F.when(F.col("o_totalprice").isNull(), F.lit(-1.0))
+        .otherwise(F.round("o_totalprice", 0))
+        .alias("price_bucket"),
+    )
+
+
+@q(
+    "q_edit_distance",
+    """SELECT doc_id,
+              levenshtein(substr(text, 1, 16), 'training corpus') AS lev
+       FROM documents WHERE doc_id % 7 = 0""",
+)
+def q_edit_distance(spark, sf):
+    """Edit-distance scoring (Levenshtein against a probe string over a
+    fixed-width prefix) — the fuzzy-matching primitive behind
+    title/URL-level near-dup heuristics; JVM levenshtein on both
+    engines, integer-exact."""
+    d = t(spark, sf, "documents").filter(F.col("doc_id") % 7 == 0)
+    return d.select(
+        "doc_id",
+        F.levenshtein(F.substring("text", 1, 16), F.lit("training corpus")).alias(
+            "lev"
+        ),
+    )
+
+
 _E2E_QUALITY_SQL = """(CASE WHEN len(regexp_split_to_array(text, '\\s+'))
                            BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.3 END)
                 * (1.0 - least(((length(text)
