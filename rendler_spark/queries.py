@@ -1916,6 +1916,66 @@ def q_edit_distance(spark, sf):
     )
 
 
+@q(
+    "q_pivot",
+    """SELECT o_orderstatus,
+              count(*) FILTER (o_orderpriority = '1-URGENT') AS p_urgent,
+              count(*) FILTER (o_orderpriority = '2-HIGH') AS p_high,
+              count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p_medium,
+              count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p_notspec,
+              count(*) FILTER (o_orderpriority = '5-LOW') AS p_low
+       FROM orders GROUP BY o_orderstatus""",
+)
+def q_pivot(spark, sf):
+    """Pivot (long -> wide crosstab): one hash aggregate producing one
+    column per pivoted value — Spark's groupBy().pivot() with the value
+    list given EXPLICITLY, which skips the extra distinct-values job and
+    keeps the plan a single pass (the 100 TB rule: never let pivot
+    discover its columns from the data).  The ANSI twin is
+    count-FILTER-per-value; columns renamed identically on both sides."""
+    vals = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    names = ["p_urgent", "p_high", "p_medium", "p_notspec", "p_low"]
+    out = (
+        t(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", vals)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(n) for v, n in zip(vals, names)],
+    )
+
+
+@q(
+    "q_rank_fns",
+    """SELECT o_orderkey,
+              round(percent_rank() OVER w, 6) AS pr,
+              ntile(4) OVER w AS quartile,
+              round(cume_dist() OVER w, 6) AS cd
+       FROM orders WHERE o_orderkey % 53 = 0
+       WINDOW w AS (ORDER BY o_totalprice, o_orderkey)""",
+)
+def q_rank_fns(spark, sf):
+    """Analytic rank family (percent_rank / ntile / cume_dist) over a
+    deterministic total order — the distribution-position functions a
+    curation pipeline uses for quantile bucketing.  Filtered to a small
+    keyset so the single-partition global window stays a driver-sized
+    demo; at scale these run per-group (see q_topk_per_group's salted
+    pattern).  round(6) clears float division on both engines."""
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") % 53 == 0)
+        .select(
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+    )
+
+
 _E2E_QUALITY_SQL = """(CASE WHEN len(regexp_split_to_array(text, '\\s+'))
                            BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.3 END)
                 * (1.0 - least(((length(text)
