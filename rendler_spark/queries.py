@@ -210,6 +210,53 @@ def q_left_join(spark, sf):
 
 
 @q(
+    "q_full_outer_join",
+    """SELECT coalesce(a.k, b.k) AS k, a.n_cust, b.n_ord
+       FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer
+             GROUP BY c_nationkey) a
+       FULL OUTER JOIN
+            (SELECT o_custkey % 30 AS k, count(*) AS n_ord FROM orders
+             GROUP BY o_custkey % 30) b
+       ON a.k = b.k""",
+)
+def q_full_outer_join(spark, sf):
+    """Full outer join (both-sides-preserved reconciliation — the
+    metrics-diff shape: which keys exist only left / only right / both).
+    Aggregated sides keep the key space small; COALESCE(k) is the
+    survivor key."""
+    c = (
+        t(spark, sf, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    o = (
+        t(spark, sf, "orders")
+        .groupBy((F.col("o_custkey") % 30).alias("k"))
+        .agg(F.count("*").alias("n_ord"))
+    )
+    return c.join(o, "k", "full_outer").select(
+        F.col("k"), "n_cust", "n_ord"
+    )
+
+
+@q(
+    "q_cross_join",
+    """SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+       WHERE n.n_regionkey != r.r_regionkey""",
+)
+def q_cross_join(spark, sf):
+    """Explicit cartesian over two TINY dims (the only place a cross
+    join belongs: |region| x |nation| rows).  Spark requires the
+    explicit crossJoin() call — accidental cartesians fail planning,
+    which is itself the scale guard."""
+    r = t(spark, sf, "region")
+    n = t(spark, sf, "nation")
+    return r.crossJoin(n).filter(
+        F.col("n_regionkey") != F.col("r_regionkey")
+    ).select("r_name", "n_name")
+
+
+@q(
     "q_semi_join",
     """SELECT c_custkey, c_name FROM customer c
        WHERE EXISTS (SELECT 1 FROM orders o
