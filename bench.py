@@ -121,24 +121,56 @@ def main() -> None:
     con.close()
 
     # ---- crawl wave loop (the north-rule metric)
-    cfg = WebConfig(
-        n_hosts=hosts, pages_per_host=256, max_links=12,
-        n_seeds=min(64, hosts), budget=budget,
-    )
-    wh = tempfile.mkdtemp(prefix="rendler_bench_wh_")
-    try:
-        # cap UDF-stage tasks at 16: at 32 concurrent tasks this sandbox
-        # oversubscribes (JVM threads + Python workers > vCPUs) and stalls
-        # erratically — see BENCH/BASELINE.md; render work saturates by 16
-        eng = CrawlEngine(spark, cfg, wh, n_partitions=min(cpus, 16))
-        eng.init()
+    #
+    # r5 hardening (VERDICT r4 #2/#4): the two high-variance entries —
+    # the crawl loop and q_minhash_pairs — are no longer single trials.
+    # r4's driver artifact recorded a 157 s crawl against r3's 70 s with
+    # byte-identical engine code because one gVisor stall window landed
+    # inside the only trial.  Now: two crawl trials with two extra
+    # minhash trials interleaved between them; the reported number is
+    # the MIN (stall noise is strictly one-sided — a stall can only add
+    # time), and the full trial arrays land in the JSON so a stalled
+    # trial is visible instead of silently defining the round.
+    def _crawl_trial() -> tuple[float, list]:
+        cfg = WebConfig(
+            n_hosts=hosts, pages_per_host=256, max_links=12,
+            n_seeds=min(64, hosts), budget=budget,
+        )
+        wh = tempfile.mkdtemp(prefix="rendler_bench_wh_")
+        try:
+            # cap UDF-stage tasks at 16: at 32 concurrent tasks this
+            # sandbox oversubscribes (JVM threads + Python workers >
+            # vCPUs) and stalls erratically — see BENCH/BASELINE.md;
+            # render work saturates by 16
+            eng = CrawlEngine(spark, cfg, wh, n_partitions=min(cpus, 16))
+            eng.init()
+            t0 = time.monotonic()
+            stats = eng.run_waves(0, waves)
+            return time.monotonic() - t0, stats
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+
+    def _minhash_trial() -> float:
         t0 = time.monotonic()
-        stats = eng.run_waves(0, waves)
-        crawl_sec = time.monotonic() - t0
-    finally:
-        shutil.rmtree(wh, ignore_errors=True)
+        QUERIES["q_minhash_pairs"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.monotonic() - t0, 3)
+
+    crawl_trials: list[tuple[float, list]] = [_crawl_trial()]
+    minhash_trials: list[float] = [queries["q_minhash_pairs"], _minhash_trial()]
+    crawl_trials.append(_crawl_trial())
+    minhash_trials.append(_minhash_trial())
+
+    crawl_sec, stats = min(crawl_trials, key=lambda cs: cs[0])
     fetched = sum(s["n_fetched"] for s in stats)
     queries["crawl_wave_loop"] = round(crawl_sec, 3)
+    queries["q_minhash_pairs"] = min(minhash_trials)
+    trials = {
+        "crawl_wave_loop": [round(cs[0], 3) for cs in crawl_trials],
+        "q_minhash_pairs": minhash_trials,
+        "estimator": "min (stall noise is one-sided)",
+    }
 
     # ---- sf1.0-equivalent point (10x sf0.1, derived deterministically —
     # tools/make_sf1.py unions 10 key-shifted copies; no external data).
@@ -210,11 +242,21 @@ def main() -> None:
                 "wave_ms": [s["wall_ms"] for s in stats1],
             }
 
+    # ceiling-normalized headline: REF_POOL16 is the anchor from the
+    # session BENCH/BASELINE.md's reference table was measured in; the
+    # normalized value is what this run's seconds would read on that
+    # host, making cross-round comparisons weather-independent in-file.
+    REF_POOL16 = 641_000.0
+    total = round(sum(queries.values()), 3)
     out = {
         "metric": "headline_total",
-        "value": round(sum(queries.values()), 3),
+        "value": total,
+        "value_ceiling_normalized": round(
+            total * ceiling["pool16_rps"] / REF_POOL16, 3
+        ),
         "unit": "sec",
         "queries": queries,
+        "trials": trials,
         "duckdb": duck,
         "ceiling": ceiling,
         "sf1": sf1,

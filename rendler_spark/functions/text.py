@@ -101,8 +101,9 @@ def inverted_postings(
         F.col(doc_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("term"),
     )
-    if min_term_len > 1:
-        toks = toks.filter(F.length("term") >= min_term_len)
+    # always >= 1: split on consecutive spaces emits empty-string tokens,
+    # which must never be indexed as a term
+    toks = toks.filter(F.length("term") >= max(min_term_len, 1))
     return (
         toks.withColumn(
             "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")

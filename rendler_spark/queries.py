@@ -274,12 +274,16 @@ def q_semi_join(spark, sf):
 @q(
     "q_anti_join",
     """SELECT c_custkey, c_name FROM customer c
-       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '1-URGENT')""",
 )
 def q_anti_join(spark, sf):
-    """C1: the seen-set dedup operator (left anti join)."""
+    """C1: the seen-set dedup operator (left anti join).  The URGENT
+    filter on the probe side keeps the result non-empty at every sf
+    (every customer has SOME order in the testdata, so the unfiltered
+    anti-join was a vacuous 0==0 row)."""
     c = t(spark, sf, "customer")
-    o = t(spark, sf, "orders")
+    o = t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -1388,7 +1392,7 @@ def q_ann_ivf_topk(spark, sf):
 @q(
     "q_inverted_index",
     """SELECT term, count(DISTINCT doc_id) AS df,
-              list_sort(list(DISTINCT doc_id)) AS postings
+              array_to_string(list_sort(list(DISTINCT doc_id)), ' ') AS postings
        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
              FROM documents)
        WHERE length(term) >= 5
@@ -1405,15 +1409,24 @@ def q_inverted_index(spark, sf):
     disjoint sorted doc sets, so df = sum(bucket_df) and the flat
     postings are the sorted concatenation, keeping the driver oracle
     bitwise.  Restricted to length>=5 terms so the driver row set stays
-    bounded; the plan is term-count-agnostic."""
+    bounded; the plan is term-count-agnostic.
+
+    The registered projection flattens postings to a space-delimited
+    string: the driver's pandas canonicalizer cannot sort/hash Array
+    cells (CORRECTNESS_r04.json traceback), so WINDOW queries must emit
+    scalar columns only (pinned by tests/test_registry_lint.py).  The
+    serving layout keeps the bucketed array form."""
     from rendler_spark.functions.text import inverted_postings
 
     b = inverted_postings(
         t(spark, sf, "documents"), "doc_id", "text", min_term_len=5, n_buckets=16
     )
+    merged = F.sort_array(F.flatten(F.collect_list("postings")))
     return b.groupBy("term").agg(
         F.sum("bucket_df").alias("df"),
-        F.sort_array(F.flatten(F.collect_list("postings"))).alias("postings"),
+        F.array_join(F.transform(merged, lambda x: x.cast("string")), " ").alias(
+            "postings"
+        ),
     )
 
 
@@ -1692,8 +1705,8 @@ def q_tpch_q3_shape(spark, sf):
     "q_tpch_q4_shape",
     """SELECT o_orderpriority, count(*) AS n
        FROM orders o
-       WHERE o.o_orderdate >= TIMESTAMP '1994-01-01'
-         AND o.o_orderdate < TIMESTAMP '1994-04-01'
+       WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+         AND o.o_orderdate < TIMESTAMP '1995-04-01'
          AND EXISTS (SELECT 1 FROM lineitem l
                      WHERE l.l_orderkey = o.o_orderkey
                        AND l.l_discount > 0.05)
@@ -1707,7 +1720,7 @@ def q_tpch_q4_shape(spark, sf):
     to the scans.  (The testdata carries no commit/receipt dates;
     l_discount > 0.05 keeps the identical plan shape.)"""
     o = t(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1994-04-01")
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01")
     )
     li = t(spark, sf, "lineitem").filter(F.col("l_discount") > 0.05)
     return (
@@ -1785,7 +1798,10 @@ def q_bucketed_join(spark, sf):
     from rendler_spark.sources import bucketed as B
 
     loc = tempfile.mkdtemp(prefix="rendler_q_bucket_")
-    db = "rendler_qbkt"
+    # db name derived from the tempdir suffix: the CASCADE drop in
+    # finally can only ever remove what this invocation created, and two
+    # concurrent runs in one metastore cannot collide
+    db = "rendler_qbkt_" + loc.rsplit("rendler_q_bucket_", 1)[1]
     try:
         B.create_bucket_db(spark, db, loc)
         B.write_bucketed(

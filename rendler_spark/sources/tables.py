@@ -234,6 +234,14 @@ class Warehouse:
         next call) or a ``__old__`` without its main dir (restored on
         next call) — never a missing or doubled partition.  Returns
         {"rewritten": n_dirs, "files_before": x, "files_after": y}.
+
+        Concurrency contract (matching the Iceberg maintenance-operation
+        model): compaction assumes a quiesced table — SINGLE writer, NO
+        concurrent readers.  The leaf swap (os.replace to ``__old__``
+        then ``__rewrite__`` into place) has a window where the
+        partition dir does not exist, so a Spark read racing the swap
+        can fail or silently miss the partition.  The engine only calls
+        this between waves, never during one.
         """
         base = self.table_dir(table)
         if not base.exists():

@@ -97,6 +97,10 @@ def main() -> None:
                 rec["rows_match"] = len(got) == len(want)
                 rec["schema_match"] = sorted(got.columns) == sorted(want.columns)
                 rec["hash_match"] = value_hash(got) == value_hash(want)
+                # an oracled query returning 0 rows "matches" vacuously
+                # (0 == 0 proves nothing about the operator under test) —
+                # flag it so it cannot pass silently (ADVICE r4)
+                rec["vacuous"] = len(got) == 0
             else:
                 rec["err"] = "no_oracle"
         except Exception as exc:  # noqa: BLE001 — record, keep sweeping
@@ -107,6 +111,8 @@ def main() -> None:
             "PASS" if rec["hash_match"]
             else ("rows-only" if rec["err"] == "no_oracle" else "FAIL")
         )
+        if rec.get("vacuous"):
+            status = "VACUOUS"
         print(f"{name:32s} {status:9s} rows={rec['spark_rows']} {rec['sec']}s",
               flush=True)
 
@@ -118,8 +124,12 @@ def main() -> None:
     n_pass = sum(1 for r in out.values() if r["hash_match"])
     n_rows = sum(1 for r in out.values() if r["err"] == "no_oracle")
     n_fail = len(out) - n_pass - n_rows
-    print(f"\n{path}: {n_pass} oracle-exact, {n_rows} rows-only, {n_fail} FAIL")
-    sys.exit(1 if n_fail else 0)
+    n_vac = sum(1 for r in out.values() if r.get("vacuous"))
+    print(
+        f"\n{path}: {n_pass} oracle-exact, {n_rows} rows-only, "
+        f"{n_fail} FAIL, {n_vac} vacuous"
+    )
+    sys.exit(1 if (n_fail or n_vac) else 0)
 
 
 if __name__ == "__main__":
