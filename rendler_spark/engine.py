@@ -275,6 +275,15 @@ class CrawlEngine:
         # newest N after each wave commit (Iceberg expire_snapshots; bounds
         # metadata growth on a long crawl; None = keep all — required when
         # external tooling rolls back past the horizon, e.g. BENCH/scaling)
+        seen_bucketed: bool = False,  # maintain a url-bucketed catalog
+        # MIRROR of the seen keys so the per-wave anti-join never
+        # re-shuffles the seen side (sources/bucketed.py's layout applied
+        # to the engine's recurring join — VERDICT r4 #2); the Warehouse
+        # parquet stays the source of truth, the mirror is a derived
+        # index synced to the committed version via a marker file and
+        # rebuilt whenever the marker diverges (crash / resume / rollback)
+        seen_buckets: int = 16,  # mirror bucket count (cand shuffles to
+        # this many partitions; thousands at 10^10-URL scale)
     ):
         self.spark = spark
         self.cfg = cfg
@@ -305,11 +314,85 @@ class CrawlEngine:
         assert fetch_udf in ("arrow", "pandas"), fetch_udf
         self.fetch_udf = fetch_udf
         self._seen_pby = ["shard"] if seen_shard_partition else None
+        self.seen_bucketed = seen_bucketed
+        self.seen_buckets = seen_buckets
         self._wave_cache: list[DataFrame] = []
         self._n_seen_shards_scanned: int | None = None
         self.robots = robots_df(spark, cfg)
         self._shard_blobs: dict[int, bytes] = {}
         self._bc = None
+
+    # ----------------------------------------------- bucketed seen mirror
+    #
+    # The per-wave anti-join's seen side is the one table that grows
+    # without bound; re-shuffling it every wave is the dominant recurring
+    # exchange at 10^10 URLs.  Spark only elides the shuffle when the
+    # join key EQUALS the bucket key (a superset re-shuffles both sides —
+    # measured on 4.1.2), so the mirror buckets by ``url`` itself and the
+    # bucketed path joins on url alone: exact (string equality, no hash
+    # collision concern) and Exchange-free on the seen side — only the
+    # wave's candidates shuffle (to seen_buckets partitions).  Plan
+    # pinned by tests/test_engine_bucketed_seen.py.
+
+    def _mirror_db(self) -> str:
+        import hashlib
+
+        h = hashlib.md5(str(self.wh.root.resolve()).encode()).hexdigest()[:10]
+        return f"rendler_seenb_{h}"
+
+    def _mirror_table(self) -> str:
+        return f"{self._mirror_db()}.seen_b"
+
+    def _mirror_marker_path(self):
+        return self.wh.root / "seen_mirror.json"
+
+    def _mirror_version(self) -> int | None:
+        import json
+
+        p = self._mirror_marker_path()
+        if not p.exists():
+            return None
+        m = json.loads(p.read_text())
+        if m.get("buckets") != self.seen_buckets:
+            return None  # bucket count changed: force rebuild
+        return int(m["version"])
+
+    def _mirror_write(self, df: DataFrame, mode: str, version: int) -> None:
+        import json
+
+        loc = self.wh.root / "_seen_bucketdb"
+        self.spark.sql(
+            f"CREATE DATABASE IF NOT EXISTS {self._mirror_db()} "
+            f"LOCATION '{loc}'"
+        )
+        (
+            # repartition by the bucket key FIRST: repartition and
+            # bucketBy share the same murmur3 pmod, so every write task
+            # holds exactly one bucket's rows — one file per bucket per
+            # write instead of (tasks x buckets) fragments
+            df.select("url", "url_hash", "shard")
+            .repartition(self.seen_buckets, "url")
+            .write.mode(mode)
+            .bucketBy(self.seen_buckets, "url")
+            .sortBy("url")
+            .saveAsTable(self._mirror_table(), format="parquet")
+        )
+        self._mirror_marker_path().write_text(
+            json.dumps({"version": version, "buckets": self.seen_buckets})
+        )
+
+    def _seen_mirror_df(self, version: int) -> DataFrame:
+        """The seen keys at committed state ``version``, served from the
+        bucketed mirror — synced first if the marker diverges (one full
+        rebuild shuffle, paid only on first use / crash / rollback)."""
+        if self._mirror_version() != version or not self.spark.catalog.tableExists(
+            self._mirror_table()
+        ):
+            # the marker survives on disk but the catalog entry does not
+            # (in-memory session catalog): a resume in a fresh session
+            # rebuilds even with a current marker
+            self._mirror_write(self._read_seen(version), "overwrite", version)
+        return self.spark.table(self._mirror_table())
 
     # ----------------------------------------------------- bloom state
 
@@ -427,19 +510,25 @@ class CrawlEngine:
                     seen = seen.filter(F.lit(False))
                 elif len(shards) < self.n_shards:
                     seen = seen.filter(F.col("shard").isin(shards))
-            seen_keys = seen.select("url_hash", "url")
+            # bucketed mirror path: join on url ALONE — the mirror is
+            # bucketed by url, so the (huge) seen side plans with no
+            # Exchange and only the wave's candidates shuffle; string
+            # equality keeps it exact.  Plain path: (url_hash, url) as
+            # before.
+            join_keys = (
+                ["url"] if self.seen_bucketed else ["url_hash", "url"]
+            )
+            seen_keys = seen.select(*join_keys)
             if self.seen_join_hint:
                 seen_keys = seen_keys.hint(self.seen_join_hint)
             if flagged is not None:
                 sure_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
                 need_check = flagged.filter(F.col("_maybe")).drop("_maybe")
                 # exact anti-join is authoritative; bloom only shrinks it
-                checked = need_check.join(
-                    seen_keys, ["url_hash", "url"], "left_anti"
-                )
+                checked = need_check.join(seen_keys, join_keys, "left_anti")
                 new = sure_new.unionByName(checked)
             else:
-                new = cand.join(seen_keys, ["url_hash", "url"], "left_anti")
+                new = cand.join(seen_keys, join_keys, "left_anti")
         else:
             new = cand
         gated = with_robots(new, self.robots)
@@ -651,7 +740,7 @@ class CrawlEngine:
             )
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
-        seen = self._read_seen(w)
+        seen = self._seen_mirror_df(w) if self.seen_bucketed else self._read_seen(w)
         seen_add, _ = self._admit(cand, seen, version=w)
         obs_seen = Observation()
         seen_add = seen_add.observe(
@@ -716,6 +805,18 @@ class CrawlEngine:
             "wave_metrics", w, spark.createDataFrame(metrics_pdf)
         )
         self.wh.commit(w + 1, {"kind": "wave", **stats})
+        if self.seen_bucketed:
+            # fold the committed wave's additions into the mirror (append
+            # = one bucket-local file per bucket, no shuffle of the
+            # existing mirror); on the compaction cadence, rewrite the
+            # whole mirror instead so files per bucket stay bounded at
+            # seen_compact_every.  A crash between commit and this write
+            # leaves the marker at w, and the next wave's sync rebuilds —
+            # never a wrong join.
+            if compacted_at is not None:
+                self._mirror_write(self._read_seen(w + 1), "overwrite", w + 1)
+            else:
+                self._mirror_write(added, "append", w + 1)
         if self.snapshot_keep:
             self.wh.expire_snapshots(self.snapshot_keep)
 

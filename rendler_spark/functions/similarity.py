@@ -673,13 +673,87 @@ def ivf_index(
 
 
 def _ivf_load_meta(wh, table: str) -> dict:
+    """Newest ivf_index manifest for ``table``, plus the delta waves of
+    every ivf_append committed AFTER it (appends from before a rebuild
+    are superseded by the rebuild and must not be read)."""
     last = wh.last_version()
+    base = None
+    deltas: list[int] = []
     if last is not None:
         for v in range(last, wh.first_version() - 1, -1):
             m = wh.manifest(v)
-            if m.get("kind") == "ivf_index" and m.get("table") == table:
-                return m
-    raise ValueError(f"no ivf_index manifest for table {table!r}")
+            if m.get("table") != table:
+                continue
+            if m.get("kind") == "ivf_index":
+                base = dict(m)
+                break
+            if m.get("kind") == "ivf_append":
+                deltas.append(int(m["wave"]))
+    if base is None:
+        raise ValueError(f"no ivf_index manifest for table {table!r}")
+    base["delta_waves"] = sorted(deltas)
+    return base
+
+
+def ivf_append(
+    df_new: DataFrame,
+    wh,
+    table: str = "ivf_index",
+) -> dict:
+    """Incremental index maintenance (growing corpus): assign ONLY the
+    new vectors to the EXISTING centroids and write them as a delta wave
+    of the index table (same cluster sub-partitioning) — no re-shuffle,
+    no re-assignment of the resident corpus.  ``ivf_probe`` reads
+    base + deltas, so served results equal a full rebuild at unchanged
+    centroids (pinned by tests/test_similarity.py).  Returns the commit
+    metadata.  When :func:`ivf_staleness` shows the mean
+    assigned-to-centroid cosine drifting down, rebuild with
+    :func:`ivf_index` — a rebuild supersedes all prior deltas."""
+    meta = _ivf_load_meta(wh, table)
+    centroids = np.asarray(meta["centroids"], dtype=np.float64)
+    wave = (meta["delta_waves"][-1] if meta["delta_waves"] else 0) + 1
+    assigned = ivf_assign(df_new, meta["id_col"], meta["vec_col"], centroids)
+    wh.overwrite_partition(table, wave, assigned, partition_by=["cluster"])
+    commit = {
+        "kind": "ivf_append",
+        "table": table,
+        "wave": wave,
+    }
+    wh.commit((wh.last_version() or 0) + 1, commit)
+    return commit
+
+
+def ivf_staleness(spark, wh, table: str = "ivf_index") -> float:
+    """Index-quality metric for the append path: mean cosine between
+    each indexed vector and its assigned centroid.  Fresh k-means
+    assignments score high; as appended batches drift off the trained
+    manifold the mean drops — the signal to rebuild.  One broadcast join
+    (k rows) + JVM higher-order-function dot products; no Python."""
+    meta = _ivf_load_meta(wh, table)
+    centroids = _unit(np.asarray(meta["centroids"], dtype=np.float64))
+    vec_col = meta["vec_col"]
+    cent_rows = [
+        (int(c), [float(x) for x in row]) for c, row in enumerate(centroids)
+    ]
+    cents = spark.createDataFrame(cent_rows, "cluster int, cvec array<double>")
+    rows = wh.read(spark, table, wave=0).drop("wave")
+    for w in meta["delta_waves"]:
+        rows = rows.unionByName(wh.read(spark, table, wave=w).drop("wave"))
+    joined = rows.join(F.broadcast(cents), "cluster")
+    prod = F.zip_with(
+        F.col(vec_col), F.col("cvec"), lambda a, b: a.cast("double") * b
+    )
+    dot = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    # centroids are unit vectors; guard zero-norm rows
+    cos = dot / F.when(norm > 0, norm).otherwise(F.lit(1.0))
+    return float(joined.agg(F.avg(cos).alias("m")).collect()[0]["m"])
 
 
 def ivf_probe(spark, wh, qvec: list[float], nprobe: int = 4, table: str = "ivf_index"):
@@ -691,9 +765,10 @@ def ivf_probe(spark, wh, qvec: list[float], nprobe: int = 4, table: str = "ivf_i
     centroids = np.asarray(meta["centroids"], dtype=np.float64)
     q = _unit(np.asarray([qvec], dtype=np.float64))[0]
     probe = np.argsort(-(_unit(centroids) @ q))[:nprobe]
-    cand = wh.read(spark, table, wave=0).filter(
-        F.col("cluster").isin([int(c) for c in probe])
-    )
+    cand = wh.read(spark, table, wave=0).drop("wave")
+    for w in meta["delta_waves"]:  # ivf_append deltas since last rebuild
+        cand = cand.unionByName(wh.read(spark, table, wave=w).drop("wave"))
+    cand = cand.filter(F.col("cluster").isin([int(c) for c in probe]))
     return cand, meta
 
 

@@ -1,0 +1,108 @@
+"""Bucketed seen mirror (VERDICT r4 #2): the per-wave anti-join must not
+re-shuffle the seen side, and semantics must be identical to the plain
+path — the mirror is a derived index, never a second source of truth."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from oracle_rendler import run_oracle
+from rendler_spark import synthweb
+from rendler_spark.engine import CrawlEngine
+
+CFG = synthweb.WebConfig()  # t1 smoke tier
+WAVES = 3
+
+
+def _formatted(df):
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def bucketed_run(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("whb") / "t1")
+    eng = CrawlEngine(spark, CFG, wh, seen_bucketed=True)
+    stats = eng.run(WAVES)
+    return eng, stats
+
+
+def test_bucketed_seen_matches_oracle(bucketed_run, spark):
+    """Same crawl, bucketed mirror on: seen set, blocked set, and fetch
+    order all still equal the sequential oracle."""
+    eng, _ = bucketed_run
+    oracle = run_oracle(CFG, WAVES)
+    got = {r["url"] for r in eng.wh.read(spark, "seen").select("url").collect()}
+    assert got == oracle.seen
+    rows = eng.wh.read(spark, "fetch_log").collect()
+    order = sorted((r["wave"], r["host"], r["depth"], r["seq"], r["url"]) for r in rows)
+    assert order == sorted(oracle.fetch_order)
+
+
+def test_mirror_content_equals_seen_table(bucketed_run, spark):
+    """The mirror after the run holds exactly the warehouse seen keys."""
+    eng, stats = bucketed_run
+    v = len(stats)
+    mirror = {r["url"] for r in eng._seen_mirror_df(v).select("url").collect()}
+    truth = {
+        r["url"] for r in eng._read_seen(v).select("url").collect()
+    }
+    assert mirror == truth and len(mirror) > 0
+
+
+def test_anti_join_plan_no_exchange_on_seen_side(bucketed_run, spark):
+    """THE property this layout buys: the anti-join against the mirror
+    plans with exactly ONE Exchange (the candidate side) — the bucketed
+    seen scan feeds the join directly.  Broadcast is disabled because at
+    t1 scale the tiny mirror would broadcast and hide the shape under
+    test; at 10^10 URLs nothing broadcasts."""
+    eng, stats = bucketed_run
+    v = len(stats)
+    seen = eng._seen_mirror_df(v)
+    cand = (
+        spark.range(3000)
+        .select(
+            F.concat(F.lit("http://hx.test/p"), F.col("id").cast("string")).alias(
+                "url"
+            )
+        )
+        .withColumn("url_hash", F.xxhash64("url"))
+    )
+    saved = {}
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    for k in keys:
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, "-1")
+    try:
+        j = cand.join(seen.select("url"), ["url"], "left_anti")
+        plan = _formatted(j)
+    finally:
+        for k, v_ in saved.items():
+            spark.conf.set(k, v_) if v_ is not None else spark.conf.unset(k)
+    exchanges = [
+        ln for ln in plan.splitlines()
+        if ln.strip().startswith("(") and "Exchange" in ln
+    ]
+    assert len(exchanges) == 1, plan
+
+
+def test_mirror_rebuilds_after_marker_divergence(spark, tmp_path):
+    """Crash model: marker behind the committed version (or missing)
+    means the next wave rebuilds the mirror from the warehouse — results
+    stay oracle-exact."""
+    wh = str(tmp_path / "t1")
+    eng = CrawlEngine(spark, CFG, wh, seen_bucketed=True)
+    eng.run(2)
+    # simulate a crash that lost the mirror sync
+    eng._mirror_marker_path().unlink()
+    eng2 = CrawlEngine(spark, CFG, wh, seen_bucketed=True)
+    stats2 = eng2.run_waves(2, WAVES)
+    assert stats2  # wave 2 ran after a forced rebuild
+    oracle = run_oracle(CFG, WAVES)
+    got = {r["url"] for r in eng2.wh.read(spark, "seen").select("url").collect()}
+    assert got == oracle.seen

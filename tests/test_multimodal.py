@@ -156,3 +156,43 @@ def test_audio_external_format_is_honest_stub(spark):
 
     with pytest.raises(NotImplementedError):
         decode_audio(b"\x00\x01", "mp3")
+
+
+def test_phash_neardup_query_exact_vs_bruteforce(spark):
+    """q_phash_neardup's banded LSH must equal brute-force ground truth:
+    pigeonhole (hamming <= n_bands-1 implies one identical 16-bit band)
+    gives recall 1.0 inside the threshold, and the popcount verify gives
+    precision 1.0 — so the result is EXACT, not approximate.  The fixture
+    plants +1-brightness companions (byte-different, phash-identical: md5
+    dedup cannot catch them) and 4x4-patch companions."""
+    from itertools import combinations
+
+    from rendler_spark import codecs
+    from rendler_spark.functions.multimodal import phash_near_duplicates
+    from rendler_spark.queries import _phash_fixture_pixels
+
+    import pandas as pd
+
+    users = list(range(0, 40))
+    pix = _phash_fixture_pixels(users)
+    hashes = {image_id: codecs.phash(px) for image_id, px in pix}
+    truth = {
+        (a, b) if a < b else (b, a)
+        for (a, b) in combinations(hashes, 2)
+        if bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    # every bright companion must be planted at hamming 0 (md5-proof pair)
+    bright = {i for i, _ in pix if i.endswith("_bright")}
+    assert len(bright) == 10
+    assert all((i[: -len("_bright")], i) in truth for i in bright)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, int(h)) for i, h in hashes.items()],
+            columns=["image_id", "phash"],
+        )
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in phash_near_duplicates(df, max_hamming=3).collect()
+    }
+    assert got == truth and len(got) >= len(bright)

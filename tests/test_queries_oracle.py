@@ -118,32 +118,31 @@ def test_contract_shape():
 
 def test_driver_window_composition():
     """The driver harness checks only the FIRST 50 registered queries;
-    pin the r4 rotation: registration order starts with exactly WINDOW,
-    the rotated-in r3 family (first driver-visible this round) is inside
-    it, and the rotated-out long-stable rows sit past slot 50 (each still
-    covered by tools/check_correctness.py's full sweep)."""
+    pin the r5 rotation: registration order starts with exactly WINDOW,
+    the rotated-in r4 family + new r5 queries (first driver-visible this
+    round) are inside it, the two r5-changed queries stay in for fresh
+    driver rows, and the rotated-out long-stable rows sit past slot 50
+    (each still covered by tools/check_correctness.py's full sweep)."""
     from rendler_spark.queries import DEFERRED, WINDOW
 
     names = list(QUERIES)
     assert len(names) >= 60
     assert names[:50] == WINDOW
-    rotated_in = {
-        "q_sample_det", "q_corpus_mix", "q_pack_sequences", "q_doc_bpe_tokens",
-        "q_inverted_index", "q_bm25", "q_percentiles", "q_histogram",
-        "q_triangle_count", "q_tpch_q3_shape", "q_corpus_e2e",
+    rotated_in_r5 = {
+        "q_full_outer_join", "q_cross_join", "q_pivot", "q_rank_fns",
+        "q_term_topk", "q_null_semantics", "q_edit_distance",
+        "q_tpch_q4_shape", "q_bucketed_join", "q_percentiles_approx",
+        "q_image_stats", "q_phash_neardup", "q_approx_distinct_rollup",
     }
-    similarity_family = {
-        "q_doc_punct_ratio", "q_doc_quality_score", "q_embed_norm",
-        "q_ann_cosine_topk", "q_ann_lsh_topk", "q_embed_neardup",
-        "q_minhash_pairs", "q_ngram_jaccard", "q_simhash", "q_crawl_smoke",
+    changed_r5 = {"q_anti_join", "q_inverted_index"}
+    assert rotated_in_r5 | changed_r5 <= set(WINDOW)
+    rotated_out_r5 = {
+        "q_project", "q_inner_join", "q_broadcast_join", "q_semi_join",
+        "q_asof_join", "q_range_join", "q_groupby_having", "q_dedup_minby",
+        "q_rollup", "q_doc_token_count", "q_lang_pred", "q_dedup_exact",
+        "q_string_fns",
     }
-    assert rotated_in | similarity_family <= set(WINDOW)
-    rotated_out = {
-        "q_like_filter", "q_limit", "q_merge_join", "q_left_join",
-        "q_scalar_subquery", "q_row_number", "q_lag_lead", "q_order_by",
-        "q_union_distinct", "q_except", "q_doc_fingerprint",
-    }
-    assert rotated_out <= set(DEFERRED) == set(names[50:])
+    assert rotated_out_r5 <= set(DEFERRED) == set(names[50:])
     # everything registered is either in the window or deferred, never lost
     assert set(WINDOW) | set(DEFERRED) == set(names)
 
@@ -160,3 +159,27 @@ def test_corpus_e2e_full_near_dup_stage_works(spark):
     a = full[key].sort_values("doc_id").reset_index(drop=True)
     b = exact[key].sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_approx_distinct_rollup_bounded_error(spark):
+    """HLL++ estimate within the documented default error (rsd=0.05,
+    ~3 sigma headroom) of the exact distinct count in EVERY rollup cell —
+    the mergeable-sketch property: subtotal and grand-total cells are
+    merged partial sketches, and the bound must hold there too."""
+    pdf = QUERIES["q_approx_distinct_rollup"](spark, SF).toPandas()
+    assert len(pdf) > 10  # leaf cells + per-type subtotals + grand total
+    # grand-total row present (both grouping cols NULL)
+    gt = pdf[pdf["event_type"].isna() & pdf["day"].isna()]
+    assert len(gt) == 1
+    for _, row in pdf.iterrows():
+        exact, approx = int(row["exact_users"]), int(row["approx_users"])
+        assert abs(approx - exact) <= max(3, 0.15 * exact), (
+            row["event_type"], row["day"], exact, approx
+        )
+    # subtotal consistency of the exact column: each type's subtotal
+    # >= max of its leaves (distinct counts are subadditive upward)
+    leaves = pdf[pdf["event_type"].notna() & pdf["day"].notna()]
+    subs = pdf[pdf["event_type"].notna() & pdf["day"].isna()]
+    for _, s in subs.iterrows():
+        mx = leaves[leaves["event_type"] == s["event_type"]]["exact_users"].max()
+        assert s["exact_users"] >= mx

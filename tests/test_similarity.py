@@ -269,3 +269,62 @@ def test_ivf_index_partition_pruned_and_topk_parity(spark, tmp_path):
     assert [(r["vec_id"], r["cos"]) for r in served] == [
         (r["vec_id"], r["cos"]) for r in direct
     ]
+
+
+def test_ivf_append_parity_and_staleness(spark, tmp_path):
+    """Incremental index maintenance (VERDICT r4 #8): appending a batch
+    to an existing index must equal a full rebuild at unchanged centroids
+    — same served top-k — and ivf_staleness must drop when the appended
+    batch drifts off the trained manifold."""
+    from rendler_spark.sources.tables import Warehouse
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 16)) * 4
+    base = np.concatenate(
+        [c + rng.normal(size=(40, 16)) for c in centers]
+    ).astype(np.float32)
+    extra = np.concatenate(
+        [centers[i % 8] + rng.normal(size=(1, 16)) for i in range(40)]
+    ).astype(np.float32)
+    q = (centers[2] + rng.normal(size=16) * 0.1).tolist()
+
+    def mk(vs, start=0):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": range(start, start + len(vs)),
+                    "embedding": [v.tolist() for v in vs],
+                }
+            )
+        )
+
+    wh = Warehouse(str(tmp_path / "ivf_app"))
+    cents = S.ivf_index(mk(base), "vec_id", "embedding", wh, n_centroids=8, n_iter=3)
+    fresh = S.ivf_staleness(spark, wh)
+    assert 0.0 < fresh <= 1.0
+
+    S.ivf_append(mk(extra, start=len(base)), wh)
+    served = S.ivf_topk_indexed(spark, wh, q, k=10, nprobe=3).collect()
+
+    # full rebuild twin at the SAME centroids over base+extra
+    wh2 = Warehouse(str(tmp_path / "ivf_full"))
+    all_df = mk(np.concatenate([base, extra]))
+    S.ivf_index(all_df, "vec_id", "embedding", wh2, centroids=cents)
+    rebuilt = S.ivf_topk_indexed(spark, wh2, q, k=10, nprobe=3).collect()
+    assert [(r["vec_id"], r["cos"]) for r in served] == [
+        (r["vec_id"], r["cos"]) for r in rebuilt
+    ]
+
+    # staleness: on-manifold append keeps the metric close to fresh;
+    # an off-manifold batch (orthogonal random noise, different scale)
+    # drags the mean assigned-to-centroid cosine DOWN
+    near = S.ivf_staleness(spark, wh)
+    off = rng.normal(size=(400, 16)).astype(np.float32) * 9
+    S.ivf_append(mk(off, start=10_000), wh)
+    drifted = S.ivf_staleness(spark, wh)
+    assert drifted < near, (fresh, near, drifted)
+
+    # a rebuild supersedes all deltas: probe reads base wave only again
+    S.ivf_index(all_df, "vec_id", "embedding", wh, centroids=cents)
+    meta = S._ivf_load_meta(wh, "ivf_index")
+    assert meta["delta_waves"] == []
