@@ -38,6 +38,10 @@ from rendler_spark.sources.tables import Warehouse  # noqa: E402
 from rendler_spark.synthweb import WebConfig  # noqa: E402
 
 QUICK = "--quick" in sys.argv
+SF1 = "--sf1" in sys.argv  # sf1-equivalent web (VERDICT r4 #6): 4x the
+# bench-tier hosts/seeds of bench.py's sf1 crawl — waves big enough that
+# the fixed per-wave scheduling overhead is amortized, i.e. the scale the
+# sf1 throughput claims come from; (4,16) pair only to bound wall time
 
 WH = "/tmp/rendler_scaling_wh"
 # N vs 4N pairs (driver instruction allows any): (4,16) is the primary
@@ -45,17 +49,17 @@ WH = "/tmp/rendler_scaling_wh"
 # (32 JVM task threads + 32 Python UDF workers on 32 vCPUs) and adds
 # erratic multi-10s stalls that say nothing about the engine; (8,32) is
 # reported too.
-PAIRS = [(4, 16), (8, 32)]
+PAIRS = [(4, 16)] if SF1 else [(4, 16), (8, 32)]
 REPS = {(4, 16): 2, (8, 32): 2} if QUICK else {(4, 16): 2, (8, 32): 2}
-RAMP_WAVES = 3 if QUICK else 4
+RAMP_WAVES = 3 if (QUICK or SF1) else 4
 MEASURE_WAVES = 1  # one steady-state wave (~65k fetches at full config)
 
 CFG = WebConfig(
-    n_hosts=256 if QUICK else 512,
-    pages_per_host=256 if QUICK else 512,
+    n_hosts=1024 if SF1 else (256 if QUICK else 512),
+    pages_per_host=256 if SF1 else (256 if QUICK else 512),
     max_links=12,
-    n_seeds=256 if QUICK else 512,
-    budget=48 if QUICK else 64,
+    n_seeds=256 if SF1 else (256 if QUICK else 512),
+    budget=48 if SF1 else (48 if QUICK else 64),
     render_iters=500,  # iterative-refinement render, ~30 ms/page of pure
     # cache-resident ALU — the render-dominated cost profile of the
     # reference (PhantomJS rendered at ~1 s/page).  ALU-bound (not
@@ -180,9 +184,8 @@ def main() -> None:
             "ramp_waves": RAMP_WAVES, "measure_waves": MEASURE_WAVES,
         },
     }
-    Path(__file__).parent.joinpath("scaling_runs.json").write_text(
-        json.dumps(out, indent=1)
-    )
+    name = "scaling_runs_sf1.json" if SF1 else "scaling_runs.json"
+    Path(__file__).parent.joinpath(name).write_text(json.dumps(out, indent=1))
     print(json.dumps(out))
 
 

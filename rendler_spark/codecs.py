@@ -46,6 +46,26 @@ def decode_raw(data: bytes) -> np.ndarray:
     return np.frombuffer(data[12:], dtype=np.uint8).reshape(h, w, 3)
 
 
+# ---------------------------------------------------------- raw video
+#
+# Uncompressed video is the one moving-picture format that needs no
+# external codec (the mp4/webm family stubs behind
+# multimodal.EXTERNAL_VIDEO_FORMATS) — same split as audio, where
+# pcm16/wav decode for real and mp3/flac stub.
+
+
+def encode_rawvideo(frames: np.ndarray) -> bytes:
+    n, h, w, c = frames.shape
+    assert c == 3 and frames.dtype == np.uint8
+    return b"VID0" + struct.pack(">III", w, h, n) + frames.tobytes()
+
+
+def decode_rawvideo(data: bytes) -> np.ndarray:
+    assert data[:4] == b"VID0"
+    w, h, n = struct.unpack(">III", data[4:16])
+    return np.frombuffer(data[16:], dtype=np.uint8).reshape(n, h, w, 3)
+
+
 # ---------------------------------------------------------------- png
 
 

@@ -2296,6 +2296,41 @@ def q_phash_neardup(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+@q("q_video_frames")  # rows-only: binary decode isn't SQL-expressible
+def q_video_frames(spark, sf):
+    """Video frame sampling over deterministic rawvideo clips (one per
+    bounded event user; frame pixels derived from frame index — no RNG,
+    no external data): every-8th-frame fan-out to standalone raw image
+    rows ready for the image operators.  rawvideo decodes for REAL
+    (codecs.decode_rawvideo — uncompressed video needs no external lib,
+    the same split as pcm16 audio); mp4-family formats stub honestly.
+    Closed-form pixel equality pinned in tests/test_multimodal.py."""
+    import numpy as np
+    import pandas as pd
+
+    from rendler_spark import codecs
+    from rendler_spark.functions.multimodal import sample_video_frames
+
+    users = [
+        int(r["user_id"])
+        for r in t(spark, sf, "events")
+        .select("user_id").distinct().orderBy("user_id").limit(24).collect()
+    ]
+    rows = []
+    for u in users:
+        n = 16 + (u % 5) * 8
+        h, w = 12 + (u % 3) * 4, 16 + (u % 4) * 4
+        frames = np.zeros((n, h, w, 3), dtype=np.uint8)
+        frames[..., 0] = (np.arange(n, dtype=np.uint8) * 7 + u)[:, None, None] % 256
+        frames[..., 1] = np.arange(w, dtype=np.uint8)[None, None, :] * 3
+        frames[..., 2] = np.arange(h, dtype=np.uint8)[None, :, None] * 5
+        rows.append((f"clip{u}", codecs.encode_rawvideo(frames), "rawvideo"))
+    pdf = pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+    return sample_video_frames(spark.createDataFrame(pdf), every_n=8).select(
+        "image_id", "frame_idx", "w", "h", "fmt"
+    )
+
+
 # rows-only: the HLL++ estimate is implementation-defined, so no bitwise
 # DuckDB oracle; the exact count rides alongside in the same row and the
 # per-cell |approx-exact| bound is pinned in pytest instead

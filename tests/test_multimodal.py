@@ -196,3 +196,79 @@ def test_phash_neardup_query_exact_vs_bruteforce(spark):
         for r in phash_near_duplicates(df, max_hamming=3).collect()
     }
     assert got == truth and len(got) >= len(bright)
+
+
+def _rawvideo_clip(n_frames: int, h: int = 12, w: int = 16, seed: int = 0):
+    import numpy as np
+
+    from rendler_spark import codecs
+
+    idx = np.arange(n_frames, dtype=np.uint8)[:, None, None, None]
+    base = np.zeros((n_frames, h, w, 3), dtype=np.uint8)
+    base[..., 0] = (idx[..., 0] * 7 + seed) % 256
+    base[..., 1] = np.arange(w, dtype=np.uint8)[None, None, :] * 3
+    base[..., 2] = np.arange(h, dtype=np.uint8)[None, :, None] * 5
+    return base, codecs.encode_rawvideo(base)
+
+
+def test_sample_video_frames_real_for_raw(spark):
+    """rawvideo decodes for REAL (no external lib): every_n-th frame of
+    each clip comes back as an encoded image row whose pixels equal the
+    source frame exactly; frames land ready for image_stats/phash."""
+    import numpy as np
+    import pandas as pd
+
+    from rendler_spark import codecs
+    from rendler_spark.functions.multimodal import (
+        image_stats, sample_video_frames,
+    )
+
+    f0, clip0 = _rawvideo_clip(61, seed=1)
+    f1, clip1 = _rawvideo_clip(31, seed=9)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": ["clipA", "clipB"],
+                "bytes": [clip0, clip1],
+                "fmt": ["rawvideo", "rawvideo"],
+            }
+        )
+    )
+    out = sample_video_frames(df, every_n=10).collect()
+    got = {(r["image_id"], r["frame_idx"]): r for r in out}
+    assert set(got) == {("clipA", i) for i in range(0, 61, 10)} | {
+        ("clipB", i) for i in range(0, 31, 10)
+    }
+    r = got[("clipA", 30)]
+    assert r["fmt"] == "raw" and (r["w"], r["h"]) == (16, 12)
+    assert np.array_equal(codecs.decode(bytes(r["bytes"]), "raw"), f0[30])
+    # sampled frames feed the image pipeline directly
+    stats = image_stats(
+        spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    {
+                        "image_id": f'{rr["image_id"]}#{rr["frame_idx"]}',
+                        "bytes": bytes(rr["bytes"]),
+                        "fmt": rr["fmt"],
+                    }
+                    for rr in out
+                ]
+            )
+        )
+    ).collect()
+    assert len(stats) == len(out)
+
+
+def test_sample_video_frames_external_format_is_honest_stub(spark):
+    import pandas as pd
+
+    from rendler_spark.functions.multimodal import sample_video_frames
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"image_id": ["x"], "bytes": [b"\x00\x01"], "fmt": ["mp4"]}
+        )
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        sample_video_frames(df).collect()
