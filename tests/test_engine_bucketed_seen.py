@@ -106,3 +106,35 @@ def test_mirror_rebuilds_after_marker_divergence(spark, tmp_path):
     oracle = run_oracle(CFG, WAVES)
     got = {r["url"] for r in eng2.wh.read(spark, "seen").select("url").collect()}
     assert got == oracle.seen
+
+
+def test_mirror_compaction_bounds_files_and_stays_exact(spark, tmp_path):
+    """On the seen-compaction cadence the mirror is REWRITTEN instead of
+    appended: files per bucket stay bounded at ~seen_compact_every (the
+    append path adds one file per bucket per wave without bound), and
+    semantics stay oracle-exact through the rewrite."""
+    wh = str(tmp_path / "t1")
+    eng = CrawlEngine(
+        spark, CFG, wh, seen_bucketed=True, seen_compact_every=2, seen_buckets=4
+    )
+    stats = eng.run(4)
+    assert len(stats) >= 3  # cadence fired at least once (wave 2 and 4)
+    oracle = run_oracle(CFG, len(stats))
+    got = {r["url"] for r in eng.wh.read(spark, "seen").select("url").collect()}
+    assert got == oracle.seen
+    mirror = {
+        r["url"]
+        for r in eng._seen_mirror_df(len(stats)).select("url").collect()
+    }
+    assert mirror == got
+    # file boundedness: after the last rewrite at wave c, at most
+    # (waves since c) appends ride on 1 rewrite file per bucket
+    from pathlib import Path
+
+    files = list((Path(wh) / "_seen_bucketdb" / "seen_b").glob("*.parquet"))
+    n_buckets = 4
+    waves_since = len(stats) % 2  # appends since the last cadence rewrite
+    assert len(files) <= n_buckets * (1 + waves_since) + n_buckets, (
+        len(files),
+        sorted(f.name for f in files)[:8],
+    )
