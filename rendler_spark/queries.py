@@ -463,6 +463,79 @@ def q_cube(spark, sf):
     )
 
 
+@q(
+    "q_grouping_sets",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+              GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                               (l_returnflag, l_linestatus))""",
+)
+def q_grouping_sets(spark, sf):
+    """D5 (explicit form): arbitrary GROUPING SETS — rollup/cube's
+    general case, one pass over the scan with a grouping-id column
+    disambiguating which set produced each row (NULL-vs-grouped).  The
+    100 TB daily-report shape: several aggregation granularities from
+    one shuffle."""
+    df = t(spark, sf, "lineitem")
+    return df.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], ["l_returnflag", "l_linestatus"]],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count("*").alias("n"),
+        (
+            F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
+        ).cast("long").alias("gid"),
+    )
+
+
+@q(
+    "q_conditional_agg",
+    """SELECT l_returnflag,
+              count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+              count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+              CAST(sum(CASE WHEN l_tax > 0.04
+                            THEN CAST(l_quantity AS DECIMAL(18,4))
+                            ELSE 0 END) AS DOUBLE) AS taxed_qty
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def q_conditional_agg(spark, sf):
+    """Conditional aggregation (FILTER clauses / CASE-gated sums): many
+    per-segment metrics from ONE scan + ONE shuffle instead of one query
+    per predicate — the standard wide-metrics pattern at scale."""
+    li = t(spark, sf, "lineitem")
+    taxed = F.when(
+        F.col("l_tax") > 0.04, F.col("l_quantity").cast("decimal(18,4)")
+    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_disc"),
+        F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
+        F.sum(taxed).cast("double").alias("taxed_qty"),
+    )
+
+
+@q(
+    "q_string_agg",
+    """SELECT n_regionkey,
+              string_agg(n_name, ',' ORDER BY n_name) AS names
+       FROM nation GROUP BY n_regionkey""",
+)
+def q_string_agg(spark, sf):
+    """Ordered string aggregation (listagg shape): deterministic because
+    the collect is sorted before joining — the driver-hashable scalar
+    form of a collect_list (window-lint-safe by construction)."""
+    return (
+        t(spark, sf, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+                "names"
+            )
+        )
+    )
+
+
 # ======================================================= windows
 
 def _w_user():
@@ -560,6 +633,35 @@ def q_moving_avg(spark, sf):
         "event_id",
         "user_id",
         F.round(F.avg("value").over(_w_user().rowsBetween(-2, 0)), 4).alias("ma"),
+    )
+
+
+@q(
+    "q_window_range_frame",
+    """SELECT event_id, user_id,
+              round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_s
+                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS v1h
+       FROM (SELECT event_id, user_id, value,
+                    CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events)""",
+)
+def q_window_range_frame(spark, sf):
+    """E4 (value-based frame): RANGE BETWEEN over event-time seconds —
+    the trailing-hour running metric.  Unlike ROWS frames, peers at the
+    same timestamp share one frame (order-insensitive within ties), so
+    the result is deterministic without an id tie-break; round(,4)
+    absorbs summation-order FP drift, same discipline as q_moving_avg."""
+    ev = t(spark, sf, "events").withColumn(
+        "epoch_s", F.unix_timestamp("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("v1h"),
     )
 
 
