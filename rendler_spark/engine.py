@@ -35,6 +35,11 @@ Scale notes (designed for 10^10-URL frontiers, tested on local[32]):
 * the two per-wave shuffles (host-salt window; url_hash dedup/anti-join)
   are the only wide stages; the Bloom/cuckoo prefilter routes the
   overwhelmingly-new candidate mass AROUND the anti-join (SURVEY.md §4.1).
+* ``seen_bucketed=True`` additionally deletes the anti-join's seen-side
+  exchange: a url-bucketed catalog mirror of the seen keys streams into
+  the join from its buckets, so only the wave's candidates shuffle —
+  O(wave) instead of O(seen) recurring bytes (2.21x at 4M-row seen,
+  BENCH/BASELINE.md; default off below the documented crossover).
 * `bloom_mode="broadcast"` ships shard blobs to every executor (right
   while total blob bytes << executor memory); `"copartition"` cogroups
   candidates with the shard-blob table on `shard` so each task holds

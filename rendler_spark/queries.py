@@ -2398,6 +2398,42 @@ def q_phash_neardup(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+@q(
+    "q_doc_chunks",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                     FROM documents),
+         st AS (SELECT doc_id, tk,
+                       unnest(generate_series(0, len(tk)-1, 48)) AS s
+                FROM toks)
+       SELECT doc_id, CAST(s AS BIGINT) AS chunk_start,
+              array_to_string(tk[s+1 : s+64], ' ') AS chunk
+       FROM st""",
+)
+def q_doc_chunks(spark, sf):
+    """Sliding-window document chunking with overlap (RAG/pretraining
+    prep): 64-token chunks every 48 tokens (16-token overlap), all
+    JVM-side — split -> sequence of chunk starts -> posexplode ->
+    slice+array_join.  Scan-fused and embarrassingly parallel: no
+    shuffle at all (chunking is per-row), so the plan is a single
+    whole-stage-codegen scan at any corpus size.  Spark slice() and
+    DuckDB list slicing share 1-based, end-clamped semantics, keeping
+    the oracle bitwise."""
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(48)
+    )
+    df = t(spark, sf, "documents").select(
+        "doc_id", toks.alias("tk"), F.explode(starts).alias("s")
+    )
+    return df.select(
+        "doc_id",
+        F.col("s").cast("long").alias("chunk_start"),
+        F.array_join(F.slice("tk", F.col("s") + 1, F.lit(64)), " ").alias(
+            "chunk"
+        ),
+    )
+
+
 @q("q_video_frames")  # rows-only: binary decode isn't SQL-expressible
 def q_video_frames(spark, sf):
     """Video frame sampling over deterministic rawvideo clips (one per
