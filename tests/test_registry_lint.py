@@ -58,3 +58,25 @@ def test_window_oracled_query_is_not_vacuous(spark, name):
     assert QUERIES[name](spark, SF).limit(1).count() > 0, (
         f"{name} returns 0 rows at sf0.001 — its oracle match is vacuous"
     )
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_row_at_a_time_python_in_any_registered_plan(spark, name):
+    """Global hot-path guarantee: NO registered query plans a
+    row-at-a-time Python UDF (BatchEvalPython).  Python appears only as
+    Arrow-vectorized stages (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas / MapInArrow) where binary decode or matmul
+    genuinely needs it — the 10-100x UDF cliff stays structurally
+    impossible to reintroduce anywhere in the registry."""
+    plan = _plan(QUERIES[name](spark, SF))
+    assert "BatchEvalPython" not in plan, (
+        f"{name} plans a row-at-a-time Python UDF"
+    )
