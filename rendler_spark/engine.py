@@ -524,7 +524,10 @@ class CrawlEngine:
                 ["url"] if self.seen_bucketed else ["url_hash", "url"]
             )
             seen_keys = seen.select(*join_keys)
-            if self.seen_join_hint:
+            if self.seen_join_hint and not self.seen_bucketed:
+                # hints only steer the plain path: a shuffle_hash hint on
+                # the bucketed mirror would force back the very Exchange
+                # the layout exists to delete
                 seen_keys = seen_keys.hint(self.seen_join_hint)
             if flagged is not None:
                 sure_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
