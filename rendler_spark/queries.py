@@ -2469,6 +2469,36 @@ def q_video_frames(spark, sf):
     )
 
 
+# rows-only: sketch bytes/estimates are implementation-defined (Apache
+# DataSketches), so no DuckDB oracle; the exact count rides alongside and
+# pytest pins the bound + the persist-then-merge property
+@q("q_hll_sketch_rollup")
+def q_hll_sketch_rollup(spark, sf):
+    """Two-level persisted-sketch rollup — THE 100 TB distinct-count
+    pattern: a daily job materializes one HLL sketch per (event_type,
+    day) cell (DataSketches hll_sketch_agg — a few KB each, instead of
+    re-scanning raw events), and any later report merges them upward
+    (hll_union_agg) and reads the estimate.  Merging is associative and
+    loss-free, so the report NEVER touches raw data; pytest additionally
+    pins that sketches survive a parquet round-trip and the merged
+    estimate equals the single-pass one (tests/test_queries_oracle.py).
+    Exact count_distinct rides alongside for the error bound."""
+    ev = t(spark, sf, "events").withColumn("day", F.to_date("ts"))
+    daily = ev.groupBy("event_type", "day").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_users"),
+            F.sum("exact_users").alias("sum_daily_exact"),
+            F.count("*").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # rows-only: the HLL++ estimate is implementation-defined, so no bitwise
 # DuckDB oracle; the exact count rides alongside in the same row and the
 # per-cell |approx-exact| bound is pinned in pytest instead

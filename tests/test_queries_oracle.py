@@ -183,3 +183,39 @@ def test_approx_distinct_rollup_bounded_error(spark):
     for _, s in subs.iterrows():
         mx = leaves[leaves["event_type"] == s["event_type"]]["exact_users"].max()
         assert s["exact_users"] >= mx
+
+
+def test_hll_sketch_rollup_persist_then_merge(spark, tmp_path):
+    """The property that makes sketch rollups THE 100 TB distinct-count
+    pattern: per-day sketches written to parquet, read back cold, and
+    union-merged give the SAME estimate as a single-pass sketch over the
+    raw data — reports never re-touch raw events.  Also: the estimate
+    matches the exact distinct count within the documented HLL error
+    (lgK=12 default: ~1.6% rsd, wide margin here)."""
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    path = str(tmp_path / "daily_sketches")
+    daily.write.mode("overwrite").parquet(path)  # the materialized layer
+
+    merged = (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+    )
+    single_pass = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("est"),
+        F.count_distinct("user_id").alias("exact"),
+    )
+    m = {r["event_type"]: r["est"] for r in merged.collect()}
+    for r in single_pass.collect():
+        assert m[r["event_type"]] == r["est"], (r, m)
+        assert abs(r["est"] - r["exact"]) <= max(2, 0.05 * r["exact"]), r
+    # the registered query runs and carries scalar columns only
+    pdf = QUERIES["q_hll_sketch_rollup"](spark, SF).toPandas()
+    assert len(pdf) > 0 and "est_users" in pdf.columns
