@@ -81,12 +81,40 @@ def _hw_work(n: int) -> int:
     return n
 
 
+def _io_work(n: int) -> int:
+    """Parquet read+decode+write kernel (pyarrow, no Spark): page-cache
+    read, decompression, allocation, and file-write syscalls — the
+    non-ALU cost classes a crawl wave actually pays.  Added r5: that
+    night's ALU control scaled at 0.929 while the engine (and,
+    plausibly, anything doing IO under gVisor) did not — one control
+    cannot adjudicate both contention flavors."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.01/orders.parquet"
+    total = 0
+    for i in range(n):
+        t = pq.read_table(src, columns=["o_orderkey", "o_totalprice"])
+        total += t.num_rows
+        fd, path = tempfile.mkstemp(suffix=".parquet")
+        os.close(fd)
+        pq.write_table(t.slice(0, 10_000), path)
+        os.unlink(path)
+    return total
+
+
 def hw_ceiling(pairs) -> dict:
-    """Measure the SANDBOX's own parallel-scaling ceiling with a pure-CPU,
-    allocation-free numpy kernel (no Spark, no IO, no Python-worker
-    machinery).  Wall-clock on these shared/overcommitted vCPUs does not
-    deliver 4x from 4x processes even for perfect code — engine efficiency
-    is reported both raw and normalized by this ceiling."""
+    """Measure the SANDBOX's own parallel-scaling ceiling with two
+    Spark-free controls: a pure-CPU allocation-free numpy kernel (ALU
+    contention) and a pyarrow parquet read/decode/write kernel (IO +
+    syscall + allocator contention — see _io_work).  Wall-clock on these
+    shared/overcommitted vCPUs does not deliver 4x from 4x processes
+    even for perfect code — engine efficiency is reported raw and
+    normalized; when the two controls disagree, the engine's wave
+    (which does both kinds of work) should be judged against the one it
+    resembles, not the prettier number."""
     from multiprocessing import Pool
 
     def bench(nproc, rounds=100_000):
@@ -95,8 +123,22 @@ def hw_ceiling(pairs) -> dict:
             p.map(_hw_work, [rounds] * nproc)
         return nproc * rounds / (time.monotonic() - t0)
 
+    # import in the PARENT so fork-children inherit the module and the
+    # per-child pyarrow import cost doesn't skew small-vs-large pools
+    # (measured: it produced a nonsense super-linear 1.25 "ceiling")
+    import pyarrow.parquet  # noqa: F401
+
+    def bench_io(nproc, rounds=40):
+        with Pool(nproc) as p:
+            p.map(_io_work, [1] * nproc)  # warm page cache + workers
+            t0 = time.monotonic()
+            p.map(_io_work, [rounds] * nproc)
+            return nproc * rounds / (time.monotonic() - t0)
+
     out = {}
     for n_low, n_high in pairs:
+        lo_io, hi_io = bench_io(n_low), bench_io(n_high)
+        out[f"io_{n_low}->{n_high}"] = round(hi_io / (4 * lo_io), 3)
         lo, hi = bench(n_low), bench(n_high)
         out[f"{n_low}->{n_high}"] = round(hi / (4 * lo), 3)
     return out
