@@ -2434,6 +2434,33 @@ def q_doc_chunks(spark, sf):
     )
 
 
+# rows-only: freqItems is a one-pass streaming sketch whose exact output
+# set is implementation-defined (guaranteed SUPERSET of items above the
+# support threshold, possible false positives); the containment guarantee
+# is pinned in pytest instead of a bitwise oracle
+@q("q_freq_items")
+def q_freq_items(spark, sf):
+    """Heavy hitters via Spark's one-pass frequent-items sketch
+    (Karp-Papadimitriou-Shenker / Misra-Gries family): all event types
+    and user buckets with relative frequency >= 10% in a single scan, no
+    shuffle of raw rows — the 100 TB "what dominates this column"
+    primitive (hot hosts, hot mime types, spam templates).  Exact
+    verification twin: a groupBy count filtered at the same support,
+    asserted a SUBSET of the sketch output (tests/test_queries_oracle)."""
+    ev = t(spark, sf, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("string")
+    )
+    fi = ev.stat.freqItems(["event_type", "user_bucket"], support=0.1)
+    return fi.select(
+        F.array_join(F.sort_array("event_type_freqItems"), ",").alias(
+            "event_types_ge_10pct"
+        ),
+        F.array_join(F.sort_array("user_bucket_freqItems"), ",").alias(
+            "user_buckets_ge_10pct"
+        ),
+    )
+
+
 @q("q_video_frames")  # rows-only: binary decode isn't SQL-expressible
 def q_video_frames(spark, sf):
     """Video frame sampling over deterministic rawvideo clips (one per

@@ -219,3 +219,26 @@ def test_hll_sketch_rollup_persist_then_merge(spark, tmp_path):
     # the registered query runs and carries scalar columns only
     pdf = QUERIES["q_hll_sketch_rollup"](spark, SF).toPandas()
     assert len(pdf) > 0 and "est_users" in pdf.columns
+
+
+def test_freq_items_superset_guarantee(spark):
+    """The sketch's contract: every item with relative frequency >=
+    support MUST appear in freqItems' output (false positives allowed,
+    false negatives not).  Verified against exact counts."""
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("string")
+    )
+    total = ev.count()
+    row = QUERIES["q_freq_items"](spark, SF).collect()[0]
+    got_types = set(row["event_types_ge_10pct"].split(","))
+    got_buckets = set(row["user_buckets_ge_10pct"].split(","))
+    for col, got in (("event_type", got_types), ("user_bucket", got_buckets)):
+        exact = {
+            r[col]
+            for r in ev.groupBy(col).count().collect()
+            if r["count"] >= 0.1 * total
+        }
+        assert exact <= got, (col, exact, got)
+    assert got_types and got_buckets
