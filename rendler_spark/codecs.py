@@ -171,17 +171,15 @@ def phash(px: np.ndarray) -> int:
 
     Returned as signed int64 (Spark LongType / input_hint ``phash:int64``).
     """
-    gray = px.astype(np.float64).mean(axis=2)
-    h, w = gray.shape
+    h, w = px.shape[:2]
     yi = (np.arange(_N) * h) // _N
     xi = (np.arange(_N) * w) // _N
-    small = gray[np.ix_(yi, xi)]
+    # subsample BEFORE the grayscale mean: the mean of the same 3 channel
+    # values is computed either way (bit-identical), but only over the
+    # 32x32 sample grid instead of the full image
+    small = px[np.ix_(yi, xi)].astype(np.float64).mean(axis=2)
     freq = _DCT @ small @ _DCT.T
     block = freq[:8, :8].flatten()
     med = np.median(block[1:])  # exclude DC from the threshold
-    bits = (block > med).astype(np.uint64)
-    val = np.uint64(0)
-    with np.errstate(over="ignore"):
-        for i in range(64):
-            val = (val << np.uint64(1)) | bits[i]
-    return int(val.view(np.int64))
+    # packbits is MSB-first, matching the old shift-or loop exactly
+    return int.from_bytes(np.packbits(block > med).tobytes(), "big", signed=True)

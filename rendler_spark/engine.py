@@ -64,6 +64,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
+from pyspark import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
@@ -79,6 +80,11 @@ from rendler_spark.sources.tables import Warehouse
 
 HOST_RE = r"^https?://([^/?#]*)"
 FRONTIER_COLS = ("url", "host", "depth", "seq")
+#: schema of a seen wave partition as read back (incl. partition cols)
+SEEN_READ_SCHEMA = (
+    "url_hash bigint, url string, host string, depth int, seq string, "
+    "blocked boolean, shard int, wave int"
+)
 PAGE_SCHEMA = (
     "url string, host string, depth int, seq string, links string, "
     "bytes binary, w int, h int, fmt string, caption string, phash bigint"
@@ -106,12 +112,16 @@ def _render_batch(cfg: synthweb.WebConfig, urls: pd.Series) -> dict:
     links = linkfns.extract_links(html)
     caption = synthweb.page_caption(cfg, hi, pj)
     w, h, fidx = synthweb.image_params(cfg, hi, pj)
+    coeffs = synthweb.render_coeffs(cfg, hi, pj)  # (N, 5), one batch mix
     fmts = [codecs.FORMATS[int(i)] for i in fidx]
     blobs, phashes = [], []
     for k in range(len(urls)):  # per-row loop; per-call work is a
-        px = synthweb.render_pixels(cfg, int(hi[k]), int(pj[k]))
-        blobs.append(codecs.encode(px, fmts[k]))  # vectorized numpy
-        phashes.append(codecs.phash(px))          # kernel per image
+        px = synthweb.render_pixels(  # vectorized numpy kernel per image;
+            cfg, int(hi[k]), int(pj[k]),  # size+coeffs precomputed above
+            _wh=(int(w[k]), int(h[k])), _coeffs=coeffs[k],
+        )
+        blobs.append(codecs.encode(px, fmts[k]))
+        phashes.append(codecs.phash(px))
     return {
         "links": links.to_numpy(),
         "bytes": blobs,
@@ -123,13 +133,44 @@ def _render_batch(cfg: synthweb.WebConfig, urls: pd.Series) -> dict:
     }
 
 
-def make_fetch_render(cfg: synthweb.WebConfig):
+class _PartCountAcc(AccumulatorParam):
+    """Dict-merge accumulator: {partition_id: rows} summed across tasks.
+
+    Rides the fetch/render stage so the per-partition lineage counts need
+    no separate Spark job.  Accumulator updates can double-count when a
+    cached partition is recomputed (Spark only guarantees exactly-once
+    inside actions), so the engine verifies sum(counts) == n_fetched and
+    falls back to the exact groupBy job on any mismatch."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for k, v in b.items():
+            a[k] = a.get(k, 0) + v
+        return a
+
+
+_PART_COUNT_ACC = _PartCountAcc()
+
+
+def _acc_add_partition_rows(acc, n_rows: int) -> None:
+    if acc is not None:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        if tc is not None:
+            acc.add({tc.partitionId(): n_rows})
+
+
+def make_fetch_render(cfg: synthweb.WebConfig, acc=None):
     """mapInPandas wrapper around the fetch/render kernel."""
 
     def fetch_render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            _acc_add_partition_rows(acc, len(pdf))
             out = _render_batch(cfg, pdf["url"])
             yield pd.DataFrame(
                 {
@@ -144,7 +185,7 @@ def make_fetch_render(cfg: synthweb.WebConfig):
     return fetch_render
 
 
-def make_fetch_render_arrow(cfg: synthweb.WebConfig):
+def make_fetch_render_arrow(cfg: synthweb.WebConfig, acc=None):
     """mapInArrow wrapper (SURVEY §2J): the pass-through columns
     (url/host/depth/seq) are re-emitted as the INPUT RecordBatch's own
     arrays — zero copy, no pandas object-column round trip — and the
@@ -157,6 +198,7 @@ def make_fetch_render_arrow(cfg: synthweb.WebConfig):
         for rb in batches:
             if rb.num_rows == 0:
                 continue
+            _acc_add_partition_rows(acc, rb.num_rows)
             urls = rb.column(rb.schema.get_field_index("url")).to_pandas()
             out = _render_batch(cfg, urls)
             arrays = [
@@ -326,6 +368,10 @@ class CrawlEngine:
         self.robots = robots_df(spark, cfg)
         self._shard_blobs: dict[int, bytes] = {}
         self._bc = None
+        #: opt-in wall-clock phase profiling (bench_extra/tools only):
+        #: when truthy, run_wave appends {phase: seconds} dicts here.
+        self.profile: bool = False
+        self.phase_times: list[dict] = []
 
     # ----------------------------------------------- bucketed seen mirror
     #
@@ -401,7 +447,13 @@ class CrawlEngine:
 
     # ----------------------------------------------------- bloom state
 
-    def _update_bloom(self, additions: DataFrame, version: int) -> None:
+    def _update_bloom(
+        self,
+        additions: DataFrame,
+        version: int,
+        wave_dir=None,
+        n_rows: int | None = None,
+    ) -> None:
         """Fold a wave's seen-additions into the Bloom state.
 
         broadcast mode: bits collected to the driver (bits-sized, never
@@ -409,8 +461,46 @@ class CrawlEngine:
         copartition mode: bits live in a ``bloom`` warehouse table,
         OR-merged distributed — nothing ever gathers on the driver, which
         is the 10^10-scale requirement.
-        """
+
+        Fast path: in broadcast mode the blob bytes end up on the driver
+        anyway, so when the wave's additions are a SMALL just-written
+        parquet partition (``wave_dir`` + ``n_rows``), the driver reads
+        the two key columns with pyarrow and builds the blobs in-process
+        — no Spark job.  Bloom bits are an order-independent OR, so the
+        blobs are byte-identical to the distributed build; the cuckoo
+        kind is order-sensitive and keeps the Spark path.  Large waves
+        (or resume, which passes no wave_dir) keep the distributed
+        build."""
         if self.bloom_mode == "off":
+            return
+        if (
+            wave_dir is not None
+            and n_rows is not None
+            and self.bloom_mode == "broadcast"
+            and self.filter_kind == "bloom"
+            and n_rows <= 2_000_000
+        ):
+            if n_rows > 0:
+                import pyarrow.dataset as _pads
+
+                tbl = _pads.dataset(
+                    str(wave_dir), format="parquet", partitioning="hive"
+                ).to_table(columns=["url_hash", "shard"])
+                h = tbl["url_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+                sh = tbl["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
+                for s in np.unique(sh):
+                    cur = seenfilter.build_blob(
+                        self.filter_kind, h[sh == s], self.filter_params
+                    )
+                    prev = self._shard_blobs.get(int(s))
+                    self._shard_blobs[int(s)] = (
+                        cur
+                        if prev is None
+                        else seenfilter.merge_blobs(self.filter_kind, prev, cur)
+                    )
+            if self._bc is not None:
+                self._bc.destroy()
+            self._bc = self.spark.sparkContext.broadcast(dict(self._shard_blobs))
             return
         new_bits = (
             additions.select("shard", "url_hash")
@@ -459,13 +549,24 @@ class CrawlEngine:
     # ----------------------------------------------------- admission
 
     def _admit(
-        self, candidates: DataFrame, seen: DataFrame | None, version: int = 0
+        self,
+        candidates: DataFrame,
+        seen: DataFrame | None,
+        version: int = 0,
+        cand_hint: int | None = None,
     ) -> tuple[DataFrame, DataFrame]:
         """Dedup candidates against the seen set (C1/C2), gate by robots
         (B3); returns (seen_additions, frontier_additions).
 
         candidates: (url, host, depth, seq), already first-wins-deduped.
         ``version``: bloom state version to prefilter with (copartition).
+        ``cand_hint``: upper bound on the candidate count (the wave's link
+        observation).  When it is large relative to ``n_shards`` the
+        maybe-seen candidates hit every shard with near-certainty, so the
+        shard-prune collect job (one extra pass over the candidate
+        pipeline per wave) is skipped — the exact anti-join then simply
+        reads all shards, which is what the prune would have concluded
+        anyway.  Pruning still runs for small waves, where it pays.
         """
         cand = candidates.withColumn("url_hash", F.xxhash64("url")).withColumn(
             "shard", F.pmod("url_hash", F.lit(self.n_shards)).cast("int")
@@ -502,27 +603,34 @@ class CrawlEngine:
                 # match: with the seen table Hive-sub-partitioned by shard
                 # this turns the per-wave re-scan of the whole seen set
                 # into a read of only the shards the maybe-seen candidates
-                # name (a tiny <=n_shards-row collect decides the list)
-                shards = sorted(
-                    int(r["shard"])
-                    for r in flagged.filter(F.col("_maybe"))
-                    .select("shard")
-                    .distinct()
-                    .collect()
-                )
-                self._n_seen_shards_scanned = len(shards)
-                if not shards:
-                    seen = seen.filter(F.lit(False))
-                elif len(shards) < self.n_shards:
-                    seen = seen.filter(F.col("shard").isin(shards))
-            # bucketed mirror path: join on url ALONE — the mirror is
-            # bucketed by url, so the (huge) seen side plans with no
-            # Exchange and only the wave's candidates shuffle; string
-            # equality keeps it exact.  Plain path: (url_hash, url) as
-            # before.
-            join_keys = (
-                ["url"] if self.seen_bucketed else ["url_hash", "url"]
-            )
+                # name (a tiny <=n_shards-row collect decides the list).
+                # Skipped when the wave's link count guarantees every
+                # shard is hit anyway (see ``cand_hint`` above) — the
+                # collect is a whole extra Spark job per wave.
+                if cand_hint is not None and cand_hint >= 64 * self.n_shards:
+                    self._n_seen_shards_scanned = self.n_shards
+                else:
+                    shards = sorted(
+                        int(r["shard"])
+                        for r in flagged.filter(F.col("_maybe"))
+                        .select("shard")
+                        .distinct()
+                        .collect()
+                    )
+                    self._n_seen_shards_scanned = len(shards)
+                    if not shards:
+                        seen = seen.filter(F.lit(False))
+                    elif len(shards) < self.n_shards:
+                        seen = seen.filter(F.col("shard").isin(shards))
+            # join on url ALONE on both paths (url equality implies
+            # url_hash equality, so the composite (url_hash, url) key was
+            # redundant).  Bucketed path: the mirror is bucketed by url,
+            # so the (huge) seen side plans with no Exchange.  Plain
+            # path: the candidate side arrives hash-partitioned by url
+            # from the first_wins groupBy, so Catalyst reuses that
+            # partitioning and only the SEEN side shuffles — one fewer
+            # Exchange per wave than the old composite key.
+            join_keys = ["url"]
             seen_keys = seen.select(*join_keys)
             if self.seen_join_hint and not self.seen_bucketed:
                 # hints only steer the plain path: a shuffle_hash hint on
@@ -568,7 +676,12 @@ class CrawlEngine:
         seen_add, frontier_add = self._admit(first_wins(df), None)
         self.wh.overwrite_partition("seen", 0, seen_add, partition_by=self._seen_pby)
         self.wh.overwrite_partition("frontier", 0, frontier_add)
-        self._update_bloom(self.wh.read(self.spark, "seen", wave=0), 0)
+        self._update_bloom(
+            self.wh.read(self.spark, "seen", wave=0),
+            0,
+            wave_dir=self.wh.part_dir("seen", 0),
+            n_rows=len(canon),
+        )
         n = self.wh.read(self.spark, "frontier", wave=0).count()
         self.wh.commit(0, {"kind": "init", "n_seeds": len(canon), "n_frontier": n})
 
@@ -590,6 +703,16 @@ class CrawlEngine:
         return sum(
             int(self.wh.manifest(v).get("n_fetched", 0))
             for v in range(1, version + 1)
+        )
+
+    def _partition_rows(self, table: str, wave: int) -> int:
+        """Row count of one written wave partition from parquet footers
+        (driver-side, metadata-only — no Spark job)."""
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in self.wh.part_dir(table, wave).rglob("*.parquet")
         )
 
     def _read_seen(self, upto: int) -> DataFrame:
@@ -629,6 +752,16 @@ class CrawlEngine:
 
         t0 = time.monotonic()
         spark = self.spark
+
+        _prof: dict = {"wave": w}
+        _last = t0
+
+        def tick(label: str) -> None:
+            nonlocal _last
+            if self.profile:
+                now = time.monotonic()
+                _prof[label] = round(now - _last, 3)
+                _last = now
 
         n_frontier = self._frontier_size(w)
         if n_frontier == 0:
@@ -677,13 +810,16 @@ class CrawlEngine:
             min(self.n_partitions, math.ceil(fetch_ub / self.rows_per_fetch_task)),
         )
         obs_pages = Observation()
+        part_acc = spark.sparkContext.accumulator({}, _PART_COUNT_ACC)
         spread = fetch.repartition(nparts)
         if self.fetch_udf == "arrow":
             staged_pages = spread.mapInArrow(
-                make_fetch_render_arrow(self.cfg), PAGE_SCHEMA
+                make_fetch_render_arrow(self.cfg, part_acc), PAGE_SCHEMA
             )
         else:
-            staged_pages = spread.mapInPandas(make_fetch_render(self.cfg), PAGE_SCHEMA)
+            staged_pages = spread.mapInPandas(
+                make_fetch_render(self.cfg, part_acc), PAGE_SCHEMA
+            )
         pages = (
             staged_pages.withColumn("part_id", F.spark_partition_id())
             .observe(obs_pages, F.count(F.lit(1)).alias("n_fetched"))
@@ -693,7 +829,9 @@ class CrawlEngine:
             F.col("url").alias("image_id"), "bytes", "w", "h", "fmt", "caption", "phash"
         )
         self.wh.overwrite_partition("images", w, images)  # job 1 (materializes)
+        tick('job_images_udf')
         n_fetched = int(obs_pages.get["n_fetched"])
+        tick('obs_fetched')
         if n_fetched == 0:  # budget can never defer ALL rows; 0 = done
             flagged.unpersist()
             pages.unpersist()
@@ -707,10 +845,18 @@ class CrawlEngine:
             w,
             pages.select("url", "host", "depth", "seq", "part_id", "links"),
         )
-        part_counts = {  # job 3: per-partition lineage (tiny, from cache)
-            str(r["part_id"]): r["count"]
-            for r in pages.groupBy("part_id").count().collect()
-        }
+        tick('job_fetchlog')
+        # per-partition lineage counts ride the fetch stage's accumulator
+        # (no extra job); exactness is verified against the observation
+        # and any mismatch (task retry double-count) falls back to the
+        # exact groupBy job
+        part_counts = {str(k): int(v) for k, v in part_acc.value.items()}
+        if sum(part_counts.values()) != n_fetched:
+            part_counts = {  # fallback job: per-partition lineage from cache
+                str(r["part_id"]): r["count"]
+                for r in pages.groupBy("part_id").count().collect()
+            }
+        tick('job_partcounts')
         pages.unpersist()  # image bytes leave memory here
 
         # ---- link extraction -> edges (A4) + discovery candidates.
@@ -734,6 +880,7 @@ class CrawlEngine:
             obs_edges, F.count(F.lit(1)).alias("n_links")
         )
         self.wh.overwrite_partition("edges", w, edges)  # job 4 (materializes)
+        tick('job_edges')
 
         # child seq = parent lineage + one hex digit (crawl_semantics rule
         # 1: string lineage never overflows, unlike seq*16+pos on int64)
@@ -748,46 +895,96 @@ class CrawlEngine:
             )
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
+        n_links = int(obs_edges.get["n_links"])  # job 4 already ran; free
         seen = self._seen_mirror_df(w) if self.seen_bucketed else self._read_seen(w)
-        seen_add, _ = self._admit(cand, seen, version=w)
+        seen_add, _ = self._admit(cand, seen, version=w, cand_hint=n_links)
+        tick('admit_plan')
         obs_seen = Observation()
         seen_add = seen_add.observe(
             obs_seen,
             F.count(F.lit(1)).alias("n_new"),
             F.sum(F.col("blocked").cast("int")).alias("n_blocked"),
         )
-        self.wh.overwrite_partition(  # job 5
-            "seen", w + 1, seen_add, partition_by=self._seen_pby
+        # rebalance before the partitioned write: without it every write
+        # task emits one tiny file per shard it holds (tasks x shards
+        # fragments per wave — 2,865 seen files by wave 6 at bench tier,
+        # measured); AQE sizes the rebalanced partitions, so files track
+        # data volume at any scale (guide §6 small-files).
+        seen_out = (
+            seen_add.hint("rebalance", "shard")
+            if self.seen_shard_partition
+            else seen_add.hint("rebalance")
         )
-        n_new = int(obs_seen.get["n_new"])
-        n_blocked = int(obs_seen.get["n_blocked"] or 0)
+        self.wh.overwrite_partition(  # job 5
+            "seen", w + 1, seen_out, partition_by=self._seen_pby
+        )
+        try:
+            n_new = int(obs_seen.get["n_new"])
+            n_blocked = int(obs_seen.get["n_blocked"] or 0)
+        except Exception:
+            # a wave whose additions are empty at RUNTIME can have its
+            # CollectMetrics node folded away by AQE empty-relation
+            # propagation under the rebalance exchange; the written
+            # partition is still authoritative — count it from footers
+            # (0 in practice), with a real count job as the safety net
+            n_new = self._partition_rows("seen", w + 1)
+            n_blocked = (
+                0
+                if n_new == 0
+                else self.wh.read(spark, "seen", wave=w + 1)
+                .filter(F.col("blocked"))
+                .count()
+            )
+        tick('job_seen')
 
         # frontier additions come FROM the written seen partition — the
-        # admit chain (bloom prefilter + anti-join) runs exactly once
-        added = self.wh.read(spark, "seen", wave=w + 1)
+        # admit chain (bloom prefilter + anti-join) runs exactly once.
+        # A zero-addition wave writes a file-less partition dir (nothing
+        # to infer a schema from), so substitute an explicit-schema empty
+        # frame — downstream consumers are all by-name.
+        added = (
+            self.wh.read(spark, "seen", wave=w + 1)
+            if n_new > 0
+            else spark.createDataFrame([], SEEN_READ_SCHEMA)
+        )
         frontier_add = added.filter(~F.col("blocked")).select(*FRONTIER_COLS)
         obs_next = Observation()
         nxt = deferred.unionByName(frontier_add).observe(
             obs_next, F.count(F.lit(1)).alias("n")
         )
-        self.wh.overwrite_partition("frontier", w + 1, nxt)  # job 6
-        n_frontier_next = int(obs_next.get["n"])
-        self._update_bloom(added, w + 1)  # job 7 (collect or table write)
+        # rebalance: the union otherwise writes one file per upstream
+        # cached partition (~50 tiny files/wave)
+        self.wh.overwrite_partition("frontier", w + 1, nxt.hint("rebalance"))  # job 6
+        try:
+            n_frontier_next = int(obs_next.get["n"])
+        except Exception:  # runtime-empty AQE fold, as for obs_seen above
+            n_frontier_next = self._partition_rows("frontier", w + 1)
+        tick('job_frontier')
+        self._update_bloom(  # job 7 (driver fold, or collect/table write)
+            added, w + 1, wave_dir=self.wh.part_dir("seen", w + 1), n_rows=n_new
+        )
+        tick('job_bloom')
 
         compacted_at = None
         if self.seen_compact_every and (w + 1) % self.seen_compact_every == 0:
             # fold waves 0..w+1 (newest snapshot + deltas) into one
             # shard-partitioned snapshot; amortized one extra seen
             # read+write per seen_compact_every waves
+            compact_df = self._read_seen(w + 1)
+            compact_df = (
+                compact_df.hint("rebalance", "shard")
+                if self.seen_shard_partition
+                else compact_df.hint("rebalance")
+            )
             self.wh.overwrite_partition(
                 "seen_compact",
                 w + 1,
-                self._read_seen(w + 1),
+                compact_df,
                 partition_by=self._seen_pby,
             )
             compacted_at = w + 1
+        tick('job_compact')
 
-        n_links = int(obs_edges.get["n_links"])
         n_deferred = n_frontier - n_fetched
         wall_ms = int((time.monotonic() - t0) * 1000)
         stats = {
@@ -809,10 +1006,10 @@ class CrawlEngine:
         metrics_pdf = pd.DataFrame(
             [{k: v for k, v in stats.items() if k != "partitions"}]
         )
-        self.wh.overwrite_partition(  # job 8 (tiny)
-            "wave_metrics", w, spark.createDataFrame(metrics_pdf)
-        )
+        # one metrics row: driver-side parquet write (no Spark job)
+        self.wh.overwrite_partition_local("wave_metrics", w, metrics_pdf)
         self.wh.commit(w + 1, {"kind": "wave", **stats})
+        tick('job_metrics_commit')
         if self.seen_bucketed:
             # fold the committed wave's additions into the mirror (append
             # = one bucket-local file per bucket, no shuffle of the
@@ -833,6 +1030,9 @@ class CrawlEngine:
         cand.unpersist()
         while self._wave_cache:
             self._wave_cache.pop().unpersist()
+        tick("cleanup_mirror")
+        if self.profile:
+            self.phase_times.append(_prof)
         return stats
 
     def run(self, max_waves: int, fresh: bool = True) -> list[dict]:

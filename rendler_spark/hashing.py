@@ -21,15 +21,20 @@ _M1 = _U64(0xBF58476D1CE4E5B9)
 _M2 = _U64(0x94D049BB133111EB)
 
 
+def _sm64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 core without the errstate guard (caller holds it) —
+    entering np.errstate per inner call dominated the mixing cost in the
+    render kernel (guide §4.2: per-call overhead inside hot UDF loops)."""
+    z = z + _GOLDEN
+    z = (z ^ (z >> _U64(30))) * _M1
+    z = (z ^ (z >> _U64(27))) * _M2
+    return z ^ (z >> _U64(31))
+
+
 def splitmix64(x) -> np.ndarray:
     """splitmix64 finalizer; accepts scalar or uint64 array, returns uint64."""
     with np.errstate(over="ignore"):
-        z = np.asarray(x).astype(np.uint64, copy=True)
-        z = z + _GOLDEN
-        z = (z ^ (z >> _U64(30))) * _M1
-        z = (z ^ (z >> _U64(27))) * _M2
-        z = z ^ (z >> _U64(31))
-    return z
+        return _sm64(np.asarray(x).astype(np.uint64, copy=True))
 
 
 def mix(*parts) -> np.ndarray:
@@ -42,7 +47,7 @@ def mix(*parts) -> np.ndarray:
     with np.errstate(over="ignore"):
         acc = _U64(0x243F6A8885A308D3)  # pi fraction, arbitrary non-zero
         for p in parts:
-            acc = splitmix64(np.asarray(p).astype(np.uint64) ^ acc)
+            acc = _sm64(np.asarray(p).astype(np.uint64) ^ acc)
     return acc
 
 

@@ -74,6 +74,24 @@ class Warehouse:
             w = w.partitionBy(*partition_by)
         w.parquet(str(path))
 
+    def overwrite_partition_local(self, table: str, wave: int, pdf) -> None:
+        """Driver-side twin of overwrite_partition for TINY frames (one
+        metrics row per wave): writes the pandas frame as one parquet
+        file via pyarrow, skipping the Spark job + commit protocol.  The
+        layout and (int64/str) schema match what the Spark path produced
+        for the same frame, so readers are unaffected."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = self.part_dir(table, wave)
+        if path.exists():
+            shutil.rmtree(path)
+        path.mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            path / "part-00000.parquet",
+        )
+
     # ----------------------------------------------------------- read
 
     def exists(self, table: str, wave: int | None = None) -> bool:

@@ -230,7 +230,20 @@ def image_params(cfg: WebConfig, hi, pj):
     return w.astype(np.int64), h.astype(np.int64), f.astype(np.int64)
 
 
-def render_pixels(cfg: WebConfig, hi: int, pj: int) -> np.ndarray:
+def render_coeffs(cfg: WebConfig, hi, pj) -> np.ndarray:
+    """Per-image render coefficients for (host, page) ARRAYS — one (N, 5)
+    mix instead of N scalar mixes (identical values; the batch kernel
+    hoists this out of its per-image loop, guide §4.2)."""
+    hi = np.asarray(hi, dtype=np.uint64)
+    pj = np.asarray(pj, dtype=np.uint64)
+    return mix(
+        cfg.seed, _T_IMG, hi[:, None], pj[:, None], np.arange(5)[None, :]
+    )
+
+
+def render_pixels(
+    cfg: WebConfig, hi: int, pj: int, *, _wh=None, _coeffs=None
+) -> np.ndarray:
     """Deterministic RGB pixels for one page (numpy-vectorized per image).
 
     Replaces the PhantomJS screenshot [upstream: python/render.js ~L1-20].
@@ -238,16 +251,32 @@ def render_pixels(cfg: WebConfig, hi: int, pj: int) -> np.ndarray:
     vectorized work over w*h*3 pixels — the interpreted-Python cost per row
     is O(1), satisfying the "vectorized UDF" constraint in spirit and in
     profile (pixel math dominates).
+
+    ``_wh`` / ``_coeffs`` let a batch caller supply the already-computed
+    image size and coefficient row (see render_coeffs); values are
+    identical to the self-computed ones.
     """
-    w, h, _ = image_params(cfg, [hi], [pj])
-    w, h = int(w[0]), int(h[0])
-    c = mix(cfg.seed, _T_IMG, np.uint64(hi), np.uint64(pj), np.arange(5))
+    if _wh is None:
+        w, h, _ = image_params(cfg, [hi], [pj])
+        w, h = int(w[0]), int(h[0])
+    else:
+        w, h = _wh
+    c = (
+        _coeffs
+        if _coeffs is not None
+        else mix(cfg.seed, _T_IMG, np.uint64(hi), np.uint64(pj), np.arange(5))
+    )
     a, b, cc, d, s = (int(x % np.uint64(251)) for x in c)
     S = max(1, int(cfg.supersample))
-    x = np.arange(w * S, dtype=np.int64)[None, :, None]
-    y = np.arange(h * S, dtype=np.int64)[:, None, None]
-    ch = np.arange(3, dtype=np.int64)[None, None, :]
-    px = (a * x + b * y + cc * ch + ((x * y) >> 4) * d + s) & 255
+    # int32 is exact here (all terms < 2^31 for any supported size), and
+    # assembling the (h, w) base before broadcasting the 3-channel term
+    # halves the number of full-size passes; integer math is associative,
+    # so the pixels are bit-identical to the one-expression form
+    x = np.arange(w * S, dtype=np.int32)[None, :, None]
+    y = np.arange(h * S, dtype=np.int32)[:, None, None]
+    ch = np.arange(3, dtype=np.int32)[None, None, :]
+    base = a * x + b * y + ((x * y) >> 4) * d + s
+    px = (base + cc * ch) & 255
     if S > 1:
         # box-downsample the supersampled canvas (antialiased render)
         px = px.reshape(h, S, w, S, 3).mean(axis=(1, 3)).astype(np.int64)
