@@ -78,6 +78,54 @@ def minhash_signature(shingles: np.ndarray, k: int = 64, seed: int = 42) -> np.n
     return to_i64(m.min(axis=1))
 
 
+def _batch_minhash_sigs(
+    texts, k: int = 64, seed: int = 42, n: int = 3
+) -> list[list[int]]:
+    """MinHash signatures for a whole batch of texts in a handful of
+    vectorized passes — value-identical to per-doc
+    ``minhash_signature(_shingle_hashes(t))`` (pinned by
+    tests/test_similarity.py::test_batch_minhash_matches_per_doc), but
+    token hashing, window mixing and the K-permutation min run over the
+    batch's CONCATENATED token stream instead of per document
+    (guide §4.2: hand whole batches to vectorized kernels)."""
+    tok_lists = [t.split() or [""] for t in texts]
+    ndocs = len(tok_lists)
+    if ndocs == 0:
+        return []
+    raw_lens = np.fromiter((len(x) for x in tok_lists), dtype=np.int64, count=ndocs)
+    lens = np.maximum(raw_lens, n)  # zero-pad short docs to window width
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    th_all = pd.util.hash_array(
+        np.asarray([tok for lst in tok_lists for tok in lst], dtype=object)
+    ).astype(np.uint64)
+    big = np.zeros(int(offs[-1]), dtype=np.uint64)
+    pos = 0
+    for d in range(ndocs):
+        m = int(raw_lens[d])
+        big[int(offs[d]): int(offs[d]) + m] = th_all[pos: pos + m]
+        pos += m
+    # window hashes over the concatenated stream (cross-doc windows are
+    # simply never selected below)
+    win = np.lib.stride_tricks.sliding_window_view(big, n)
+    h = np.zeros(len(win), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for col in range(n):
+            h = splitmix64(h ^ (win[:, col] + np.uint64(col + 1)))
+    segs = [
+        np.unique(h[int(offs[d]): int(offs[d]) + int(lens[d]) - (n - 1)])
+        for d in range(ndocs)
+    ]
+    seg_lens = np.fromiter((len(s) for s in segs), dtype=np.int64, count=ndocs)
+    allsh = np.concatenate(segs)
+    seeds = mix(seed, np.arange(k))  # (k,)
+    with np.errstate(over="ignore"):
+        m64 = splitmix64(allsh[None, :] ^ seeds[:, None])  # (k, total)
+    starts = np.concatenate(([0], np.cumsum(seg_lens)[:-1]))
+    mins = np.minimum.reduceat(m64, starts, axis=1)  # segments never empty
+    out = to_i64(mins.T)
+    return [row.tolist() for row in out]
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 64, seed: int = 42
 ) -> DataFrame:
@@ -85,11 +133,9 @@ def minhash_signatures(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sigs = [
-                minhash_signature(_shingle_hashes(t), k, seed).tolist()
-                for t in pdf[text_col]
-            ]
-            yield pd.DataFrame({"id": pdf[id_col], "sig": sigs})
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "sig": _batch_minhash_sigs(pdf[text_col], k, seed)}
+            )
 
     return _spread(df, id_col, text_col).mapInPandas(gen, "id long, sig array<long>")
 

@@ -32,6 +32,45 @@ TABLES = (
     "documents embeddings".split()
 )
 
+
+def _scan_units(sf_dir: str, name: str, cap: int = 64) -> int:
+    """Upper bound on useful scan tasks for a parquet table: its total
+    row-group count (Spark cannot split a scan below one row group).
+    Stops counting at ``cap`` so the footer probe stays O(cap) at scale."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    p = f"{sf_dir}/{name}.parquet"
+    files = (
+        _glob.glob(f"{p}/**/*.parquet", recursive=True)
+        if _os.path.isdir(p)
+        else [p]
+    )
+    n = 0
+    for fp in files:
+        n += _pq.ParquetFile(fp).metadata.num_row_groups
+        if n >= cap:
+            break
+    return n
+
+
+def _spread_scan(spark, df: DataFrame, sf_dir: str, table: str, *keys: str):
+    """Hash-repartition a scan whose parallelism is capped by the file's
+    row-group count (guide §2.5/§6: the testdata tables are single files
+    with a handful of row groups, so the scan — and the partial
+    aggregation FUSED into it — runs on a handful of tasks no matter how
+    many cores exist).  Repartitioning by a high-cardinality key spreads
+    the per-row heavy lifting across every core for one extra exchange of
+    the pruned columns.  At production scale (row groups >= cores) this
+    is a no-op: no exchange is added.  Results are unchanged — the
+    downstream aggregates are associative/commutative and exact."""
+    p = spark.sparkContext.defaultParallelism
+    if _scan_units(sf_dir, table, cap=p) * 2 <= p:
+        return df.repartition(p, *keys)
+    return df
+
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
 
@@ -356,9 +395,12 @@ def q_groupby_agg(spark, sf):
     price = F.col("l_extendedprice").cast("decimal(18,4)")
     disc = F.col("l_discount").cast("decimal(18,4)")
     one = F.lit(1).cast("decimal(18,4)")
+    li = t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2000-01-01")
+    # the exact-DECIMAL partial aggregation is the expensive part and it
+    # fuses into the scan stage; spread it when row groups cap the scan
+    li = _spread_scan(spark, li, sf, "lineitem", "l_orderkey")
     return (
-        t(spark, sf, "lineitem")
-        .filter(F.col("l_shipdate") <= "2000-01-01")
+        li
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(qty).cast("double").alias("sum_qty"),
@@ -569,12 +611,19 @@ def q_row_number(spark, sf):
          FROM orders) WHERE rn <= 3""",
 )
 def q_topk_per_group(spark, sf):
-    """E2: politeness budget operator (top-K per group)."""
+    """E2: politeness budget operator (top-K per group).
+
+    Spark 3.5+ plans the rn<=3 filter as a map-side WindowGroupLimit
+    (each task pre-sorts and keeps only its local top-3 per priority
+    before the exchange), so group skew is already handled in-plan; the
+    binding constraint is the SCAN task count (row groups), which caps
+    the map-side sort's parallelism — spread it first."""
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").desc(), "o_orderkey"
     )
+    o = _spread_scan(spark, t(spark, sf, "orders"), sf, "orders", "o_orderkey")
     return (
-        t(spark, sf, "orders")
+        o
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("o_orderpriority", "o_orderkey", "o_totalprice")

@@ -328,3 +328,24 @@ def test_ivf_append_parity_and_staleness(spark, tmp_path):
     S.ivf_index(all_df, "vec_id", "embedding", wh, centroids=cents)
     meta = S._ivf_load_meta(wh, "ivf_index")
     assert meta["delta_waves"] == []
+
+
+def test_batch_minhash_matches_per_doc():
+    """The vectorized batch MinHash kernel is value-identical to the
+    per-document path (r6 optimization: concatenated-stream hashing +
+    segment-min; this pin keeps the two paths interchangeable)."""
+    import numpy as np
+    import pandas as pd
+
+    from rendler_spark.functions import similarity as S
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(200)]
+    texts = [
+        " ".join(rng.choice(words, size=int(rng.integers(0, 40))))
+        for _ in range(64)
+    ] + ["", "one", "one two", "one two three"]
+    got = S._batch_minhash_sigs(pd.Series(texts))
+    for i, t in enumerate(texts):
+        want = S.minhash_signature(S._shingle_hashes(t), 64, 42).tolist()
+        assert got[i] == want, f"doc {i} diverged"
