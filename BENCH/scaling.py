@@ -93,7 +93,13 @@ def _io_work(n: int) -> int:
 
     import pyarrow.parquet as pq
 
-    src = "/root/testdata/sf0.01/orders.parquet"
+    # derive from the SPARK_GRAFT_SF_DIR convention (ADVICE r5): the
+    # control must run on hosts with a different testdata layout; the
+    # sf0.01 sibling of the configured dir keeps the kernel size fixed
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    src = os.path.join(os.path.dirname(base.rstrip("/")), "sf0.01", "orders.parquet")
+    if not os.path.exists(src):
+        src = "/root/testdata/sf0.01/orders.parquet"
     total = 0
     for i in range(n):
         t = pq.read_table(src, columns=["o_orderkey", "o_totalprice"])

@@ -41,7 +41,8 @@ def encode_raw(px: np.ndarray) -> bytes:
 
 
 def decode_raw(data: bytes) -> np.ndarray:
-    assert data[:4] == b"RAW0"
+    if data[:4] != b"RAW0":  # ValueError, not assert: survives python -O
+        raise ValueError("not a RAW0 blob")
     w, h = struct.unpack(">II", data[4:12])
     return np.frombuffer(data[12:], dtype=np.uint8).reshape(h, w, 3)
 
@@ -61,7 +62,8 @@ def encode_rawvideo(frames: np.ndarray) -> bytes:
 
 
 def decode_rawvideo(data: bytes) -> np.ndarray:
-    assert data[:4] == b"VID0"
+    if data[:4] != b"VID0":  # ValueError, not assert: survives python -O
+        raise ValueError("not a VID0 blob")
     w, h, n = struct.unpack(">III", data[4:16])
     return np.frombuffer(data[16:], dtype=np.uint8).reshape(n, h, w, 3)
 

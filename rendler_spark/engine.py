@@ -1013,12 +1013,16 @@ class CrawlEngine:
         if self.seen_bucketed:
             # fold the committed wave's additions into the mirror (append
             # = one bucket-local file per bucket, no shuffle of the
-            # existing mirror); on the compaction cadence, rewrite the
-            # whole mirror instead so files per bucket stay bounded at
-            # seen_compact_every.  A crash between commit and this write
-            # leaves the marker at w, and the next wave's sync rebuilds —
-            # never a wrong join.
-            if compacted_at is not None:
+            # existing mirror); on the rewrite cadence, rebuild the whole
+            # mirror instead so files per bucket stay bounded.  The
+            # cadence follows seen_compact_every but has its own default
+            # when compaction is off — otherwise an append-only mirror
+            # grows one file per bucket per wave without bound (ADVICE
+            # r5).  A crash between commit and this write leaves the
+            # marker at w, and the next wave's sync rebuilds — never a
+            # wrong join.
+            mirror_cadence = self.seen_compact_every or 8
+            if compacted_at is not None or (w + 1) % mirror_cadence == 0:
                 self._mirror_write(self._read_seen(w + 1), "overwrite", w + 1)
             else:
                 self._mirror_write(added, "append", w + 1)

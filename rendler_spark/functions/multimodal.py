@@ -150,6 +150,10 @@ def sample_video_frames(
                         f"video format {fmt!r} requires a codec library "
                         "not present in this container"
                     )
+                if fmt != "rawvideo":  # unknown formats must not fall
+                    raise NotImplementedError(  # through to the raw decoder
+                        f"unknown video format {fmt!r}"
+                    )
                 frames = codecs.decode_rawvideo(bytes(row["bytes"]))
                 for i in range(0, frames.shape[0], every_n):
                     ids.append(row["image_id"])

@@ -138,3 +138,29 @@ def test_mirror_compaction_bounds_files_and_stays_exact(spark, tmp_path):
         len(files),
         sorted(f.name for f in files)[:8],
     )
+
+
+def test_mirror_rewrite_cadence_with_compaction_off(spark, tmp_path):
+    """ADVICE r5: with seen_compact_every=0 the mirror used to be
+    append-only (one file per bucket per wave, unbounded).  The mirror
+    now has its own rewrite cadence; after a rewrite wave the mirror
+    holds at most ~1 file per bucket and still equals the seen table."""
+    import glob
+    import os
+
+    wh = str(tmp_path / "t1nc")
+    eng = CrawlEngine(
+        spark, CFG, wh, seen_bucketed=True, seen_compact_every=0,
+        seen_buckets=4,
+    )
+    # run past the default mirror cadence (8): 9 waves or until done
+    stats = eng.run(9)
+    v = len(stats)
+    mirror = {r["url"] for r in eng._seen_mirror_df(v).select("url").collect()}
+    truth = {r["url"] for r in eng._read_seen(v).select("url").collect()}
+    assert mirror == truth and len(mirror) > 0
+    if v >= 8:  # a rewrite happened: file count is bounded by ~buckets
+        db_dir = os.path.join(wh, "_seen_bucketdb")
+        files = glob.glob(os.path.join(db_dir, "**", "*.parquet"), recursive=True)
+        # appended-only would hold >= buckets * waves files by now
+        assert len(files) <= 4 * (1 + (v - 8)), files
