@@ -811,7 +811,11 @@ class CrawlEngine:
         )
         obs_pages = Observation()
         part_acc = spark.sparkContext.accumulator({}, _PART_COUNT_ACC)
-        spread = fetch.repartition(nparts)
+        # hash- rather than round-robin-repartition: keyless repartition
+        # first pays a local sort of its input for retry determinism
+        # (SPARK-23207); hashing by url is deterministic without it and
+        # spreads uniformly-costed fetches evenly
+        spread = fetch.repartition(nparts, "url")
         if self.fetch_udf == "arrow":
             staged_pages = spread.mapInArrow(
                 make_fetch_render_arrow(self.cfg, part_acc), PAGE_SCHEMA

@@ -279,11 +279,11 @@ def simhash_batch(texts: pd.Series, seed: int = 42) -> np.ndarray:
         h = splitmix64(_token_hashes(t.split() if t else [""]) ^ np.uint64(seed))
         bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
         acc = (2 * bits - 1).sum(axis=0)
-        val = np.uint64(0)
-        with np.errstate(over="ignore"):
-            for b in range(64):
-                val = (val << np.uint64(1)) | np.uint64(1 if acc[63 - b] > 0 else 0)
-        out[i] = int(val.view(np.int64))
+        # old loop emitted acc[63] as the MSB: packbits over reversed acc
+        # is the same 64-bit value (r6: vectorized bit pack)
+        out[i] = int.from_bytes(
+            np.packbits(acc[::-1] > 0).tobytes(), "big", signed=True
+        )
     return out
 
 
