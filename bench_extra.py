@@ -19,11 +19,7 @@ import time
 from rendler_spark.queries import QUERIES
 from rendler_spark.session import get_spark
 
-DEFAULT = [
-    "q_groupby_agg", "q_shuffle_join", "q_topk_per_group", "q_anti_join",
-    "q_order_by", "q_count_distinct", "q_tumbling_window", "q_session_gap",
-    "q_ann_cosine_topk", "q_minhash_pairs",
-]
+from rendler_spark.queries import HEADLINE as DEFAULT  # noqa: E402
 
 
 def main() -> None:

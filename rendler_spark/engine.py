@@ -860,6 +860,13 @@ class CrawlEngine:
                 str(r["part_id"]): r["count"]
                 for r in pages.groupBy("part_id").count().collect()
             }
+        try:  # deregister: the driver-global registry never evicts, and a
+            # long crawl makes one accumulator per wave
+            from pyspark.accumulators import _accumulatorRegistry
+
+            _accumulatorRegistry.pop(part_acc.aid, None)
+        except Exception:
+            pass
         tick('job_partcounts')
         pages.unpersist()  # image bytes leave memory here
 

@@ -92,6 +92,22 @@ def _batch_minhash_sigs(
     ndocs = len(tok_lists)
     if ndocs == 0:
         return []
+    # bound worker memory: the (k x total-shingles) matrix below scales
+    # with the whole batch, so split long-document batches into chunks of
+    # <= ~250k tokens (~128 MB matrix at k=64) — per-doc independence
+    # makes chunking value-neutral
+    max_tokens = 250_000
+    total_tokens = sum(len(x) for x in tok_lists)
+    if ndocs > 1 and total_tokens > max_tokens:
+        out: list[list[int]] = []
+        start, budget = 0, 0
+        for i, lst in enumerate(tok_lists):
+            if budget + max(len(lst), n) > max_tokens and i > start:
+                out.extend(_batch_minhash_sigs(texts[start:i], k, seed, n))
+                start, budget = i, 0
+            budget += max(len(lst), n)
+        out.extend(_batch_minhash_sigs(texts[start:], k, seed, n))
+        return out
     raw_lens = np.fromiter((len(x) for x in tok_lists), dtype=np.int64, count=ndocs)
     lens = np.maximum(raw_lens, n)  # zero-pad short docs to window width
     offs = np.concatenate(([0], np.cumsum(lens)))

@@ -74,6 +74,15 @@ def _spread_scan(spark, df: DataFrame, sf_dir: str, table: str, *keys: str):
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
 
+#: the bench.py headline set (bench.py is frozen and keeps its own copy;
+#: bench_extra.py and tools/dump_plans.py share THIS one so A/B timings
+#: and committed plans always cover the same queries)
+HEADLINE = [
+    "q_groupby_agg", "q_shuffle_join", "q_topk_per_group", "q_anti_join",
+    "q_order_by", "q_count_distinct", "q_tumbling_window", "q_session_gap",
+    "q_ann_cosine_topk", "q_minhash_pairs",
+]
+
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -39,6 +39,9 @@ def main() -> None:
         print(json.dumps({"total_s": round(total, 2),
                           "fetched": sum(s["n_fetched"] for s in stats),
                           "wave_ms": [s["wall_ms"] for s in stats]}))
+        if not eng.phase_times:
+            print("no completed waves; nothing to profile")
+            return
         # phase table
         keys = [k for k in eng.phase_times[0] if k != "wave"]
         print(f"{'phase':22s}" + "".join(f"w{p['wave']:<7d}" for p in eng.phase_times))
