@@ -42,18 +42,22 @@ def _scan_units(sf_dir: str, name: str, cap: int = 64) -> int:
 
     import pyarrow.parquet as _pq
 
-    p = f"{sf_dir}/{name}.parquet"
-    files = (
-        _glob.glob(f"{p}/**/*.parquet", recursive=True)
-        if _os.path.isdir(p)
-        else [p]
-    )
-    n = 0
-    for fp in files:
-        n += _pq.ParquetFile(fp).metadata.num_row_groups
-        if n >= cap:
-            break
-    return n
+    try:
+        p = f"{sf_dir}/{name}.parquet"
+        files = (
+            _glob.glob(f"{p}/**/*.parquet", recursive=True)
+            if _os.path.isdir(p)
+            else [p]
+        )
+        n = 0
+        for fp in files:
+            n += _pq.ParquetFile(fp).metadata.num_row_groups
+            if n >= cap:
+                break
+        return n
+    except Exception:
+        return cap  # probe failure must never fail the query: act as
+        # "plenty of splits" and leave the plan untouched
 
 
 def _spread_scan(spark, df: DataFrame, sf_dir: str, table: str, *keys: str):
