@@ -842,14 +842,6 @@ class CrawlEngine:
             while self._wave_cache:
                 self._wave_cache.pop().unpersist()
             return None
-        # fetch_log carries the packed links so the link pipeline re-reads
-        # THIS small table instead of the bytes-heavy pages cache
-        self.wh.overwrite_partition(  # job 2 (from cache)
-            "fetch_log",
-            w,
-            pages.select("url", "host", "depth", "seq", "part_id", "links"),
-        )
-        tick('job_fetchlog')
         # per-partition lineage counts ride the fetch stage's accumulator
         # (no extra job); exactness is verified against the observation
         # and any mismatch (task retry double-count) falls back to the
@@ -868,12 +860,14 @@ class CrawlEngine:
         except Exception:
             pass
         tick('job_partcounts')
-        pages.unpersist()  # image bytes leave memory here
 
         # ---- link extraction -> edges (A4) + discovery candidates.
         # canonicalization runs ONCE: resolved (no image bytes) is the
-        # cached frame both edges and candidates derive from.
-        staged = self.wh.read(spark, "fetch_log", wave=w).drop("wave")
+        # cached frame both edges and candidates derive from.  It reads
+        # the PAGES cache, not the fetch_log file: the cache is columnar,
+        # so projecting (url, depth, seq, links) never deserializes the
+        # image-bytes column, and the per-wave disk round trip goes away.
+        staged = pages
         resolved = (
             staged.select(
                 "url",
@@ -890,7 +884,25 @@ class CrawlEngine:
         edges = resolved.select(F.col("url").alias("src"), "dst").observe(
             obs_edges, F.count(F.lit(1)).alias("n_links")
         )
-        self.wh.overwrite_partition("edges", w, edges)  # job 4 (materializes)
+        # jobs 2+4 both depend only on the pages cache (materialized by
+        # job 1) and write different tables: run them concurrently so the
+        # smaller write hides inside the larger (guide §2.6).  fetch_log
+        # carries the packed links for downstream/export consumers.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as _pool:
+            _f_log = _pool.submit(
+                self.wh.overwrite_partition,
+                "fetch_log",
+                w,
+                pages.select("url", "host", "depth", "seq", "part_id", "links"),
+            )
+            _f_edges = _pool.submit(
+                self.wh.overwrite_partition, "edges", w, edges
+            )
+            _f_log.result()
+            _f_edges.result()  # job 4 (materializes resolved)
+        pages.unpersist()  # resolved is materialized; bytes leave memory
         tick('job_edges')
 
         # child seq = parent lineage + one hex digit (crawl_semantics rule
